@@ -1,0 +1,38 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh so sharding
+tests need no TPU (SURVEY.md section 4: CPU-backend tests for CI, the same
+code pjit-sharded on TPU for integration runs)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# Make float64 available for oracle comparisons; library code is explicit
+# about dtypes, defaulting to float32 on the TPU path.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from smpltpu.models.synthetic import make_synthetic_gmm, make_synthetic_model  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def small_model_dict():
+    return make_synthetic_model(n_verts=300, n_shapes=10, seed=0)
+
+
+@pytest.fixture(scope="session")
+def gmm_prior():
+    return make_synthetic_gmm(n_comps=8, dim=69, seed=0)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
