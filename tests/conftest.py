@@ -4,13 +4,19 @@ code pjit-sharded on TPU for integration runs)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the environment pre-sets JAX_PLATFORMS=axon (remote TPU
+# tunnel), which would make every eager op a network round-trip and
+# emulate float64; tests must run on the local virtual-8-device CPU.
+# NOTE: the axon sitecustomize imports jax at interpreter startup, so the
+# env var is already latched — jax.config.update below is what takes effect.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 # Make float64 available for oracle comparisons; library code is explicit
 # about dtypes, defaulting to float32 on the TPU path.
 jax.config.update("jax_enable_x64", True)
