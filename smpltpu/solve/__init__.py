@@ -1,0 +1,11 @@
+"""Optimization entry points (reference layer L2: the Ceres solves in
+include/Sim3BA.h:348-683 and include/MultiFrameBA.h:33-177), rebuilt as a
+batched on-device Levenberg-Marquardt engine."""
+
+from smpltpu.solve.lm import LMConfig, LMState, lm_solve  # noqa: F401
+from smpltpu.solve.single_frame import (  # noqa: F401
+    SingleFrameProblem,
+    build_fitter,
+    fit_frames,
+    make_single_frame_problem,
+)
