@@ -78,6 +78,10 @@ def skeleton_joints_cam(
     params_vec: jnp.ndarray,   # (P,) packed frame params
     shape: jnp.ndarray,        # (nS,) — ignored when spec has no shape reg
     spec: SkeletonSpec,
+    r0: Optional[jnp.ndarray] = None,  # per-frame fixed root orientation
+                                       # override (the multi-frame BA passes
+                                       # each frame's avatar r[0],
+                                       # MultiFrameBA.h:87); default spec.r0
 ) -> jnp.ndarray:
     """Camera-space positions of all joints under the reference's skeleton
     model. Returns (nJ, 3)."""
@@ -116,7 +120,7 @@ def skeleton_joints_cam(
 
     # fixed initial orientation, optimized root rotation, scale, translation
     r_root = rodrigues(fp.root_aa)
-    joints = joints @ spec.r0.T
+    joints = joints @ (spec.r0 if r0 is None else r0).T
     joints = joints @ r_root.T
     joints = fp.scale[..., None] * joints + fp.root_t
     return joints
@@ -136,6 +140,7 @@ def keypoint_residuals(
     kp_dense: jnp.ndarray,   # (K, 4) rows [jid, u, v, valid]
     cam: Camera,
     spec: SkeletonSpec,
+    r0: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Masked reprojection residuals, flattened (K*2,).
 
@@ -145,7 +150,7 @@ def keypoint_residuals(
     skip-frame / skip-keypoint control flow (src/main_single_frame.cpp:
     200-203, Sim3BA.h:573-576).
     """
-    joints_cam = skeleton_joints_cam(params_vec, shape, spec)  # (nJ, 3)
+    joints_cam = skeleton_joints_cam(params_vec, shape, spec, r0)  # (nJ, 3)
     jids = kp_dense[:, 0].astype(jnp.int32)
     pred = project(joints_cam[jids], cam)                      # (K, 2)
     res = (pred - kp_dense[:, 1:3]) * kp_dense[:, 3:4]

@@ -3,6 +3,12 @@ include/Sim3BA.h:348-683 and include/MultiFrameBA.h:33-177), rebuilt as a
 batched on-device Levenberg-Marquardt engine."""
 
 from smpltpu.solve.lm import LMConfig, LMState, lm_solve  # noqa: F401
+from smpltpu.solve.multi_frame import (  # noqa: F401
+    MultiFrameConfig,
+    MultiFrameState,
+    build_multi_fitter,
+    fit_multi_frame,
+)
 from smpltpu.solve.single_frame import (  # noqa: F401
     SingleFrameProblem,
     build_fitter,

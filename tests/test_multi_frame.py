@@ -1,0 +1,199 @@
+"""Multi-frame BA tests: block-tridiagonal solver vs dense oracle, shared
+shape + temporal recovery on a synthetic video, shape lock, window padding
+equivalence, and vmapped window batching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smpltpu.constants import N_KP_SLOTS, USE_SMPL, init_root_rotation
+from smpltpu.energy import make_skeleton_spec, skeleton_joints_cam
+from smpltpu.energy.params import (
+    FrameParams,
+    N_FRAME_PARAMS,
+    init_frame_params,
+    pack_frame_params,
+)
+from smpltpu.energy.reproj import project
+from smpltpu.models import SMPLModel
+from smpltpu.solve.multi_frame import MultiFrameConfig, build_multi_fitter
+from smpltpu.solve.tridiag import block_tridiag_solve
+from smpltpu.utils import default_intrinsics
+
+W, H = 720, 1280
+
+
+def test_block_tridiag_matches_dense(rng):
+    f, p, r = 6, 9, 3
+    mask = np.ones(p)
+    mask[0] = 0.0
+    blocks = []
+    for _ in range(f):
+        a = rng.normal(size=(p, p))
+        blocks.append(a @ a.T + 5.0 * np.eye(p))
+    diag_blocks = np.stack(blocks)
+    off = -0.7 * rng.random(size=f - 1)
+    rhs = rng.normal(size=(f, p, r))
+
+    # dense assembly
+    full = np.zeros((f * p, f * p))
+    for i in range(f):
+        full[i * p:(i + 1) * p, i * p:(i + 1) * p] = diag_blocks[i]
+    for i in range(f - 1):
+        e = off[i] * np.diag(mask)
+        full[i * p:(i + 1) * p, (i + 1) * p:(i + 2) * p] = e
+        full[(i + 1) * p:(i + 2) * p, i * p:(i + 1) * p] = e
+    x_dense = np.linalg.solve(full, rhs.reshape(f * p, r))
+
+    x = block_tridiag_solve(jnp.asarray(diag_blocks), jnp.asarray(off),
+                            jnp.asarray(mask), jnp.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(x).reshape(f * p, r), x_dense,
+                               atol=1e-8)
+
+
+def _smooth_gt_video(rng, n_frames, dtype=jnp.float64):
+    """Smoothly varying poses (a 'video')."""
+    base_aa = rng.normal(size=(23, 3)) * 0.15
+    drift = rng.normal(size=(23, 3)) * 0.02
+    vecs = []
+    for f in range(n_frames):
+        fp = FrameParams(
+            scale=jnp.asarray(1.0, dtype),
+            root_aa=jnp.asarray(np.array([0.05, 0.02, 0.0]) * f * 0.1, dtype),
+            root_t=jnp.asarray(np.array([0.1 + 0.01 * f, -0.1, 3.2]), dtype),
+            joint_aa=jnp.asarray(base_aa + f * drift, dtype),
+        )
+        vecs.append(pack_frame_params(fp))
+    return jnp.stack(vecs)
+
+
+def _project_video(gt_params, gt_shape, spec, cam):
+    n_frames = gt_params.shape[0]
+    kp = np.zeros((n_frames, N_KP_SLOTS, 4))
+    for f in range(n_frames):
+        joints = skeleton_joints_cam(gt_params[f], gt_shape, spec)
+        uv = np.asarray(project(joints, cam))
+        kp[f, :, 0] = USE_SMPL
+        kp[f, :, 1:3] = uv[USE_SMPL]
+        kp[f, :, 3] = 1.0
+    return kp
+
+
+@pytest.fixture(scope="module")
+def mf_rig(small_model_dict):
+    model = SMPLModel.from_dict(small_model_dict, dtype=jnp.float64)
+    cam = default_intrinsics(W, H, dtype=jnp.float64)
+    spec = make_skeleton_spec(model, init_root_rotation(), with_shape=True)
+    return model, cam, spec
+
+
+def test_multi_frame_recovers_pose_and_shape(mf_rig, rng):
+    model, cam, spec = mf_rig
+    f = 8
+    gt_shape = jnp.asarray(rng.normal(size=10) * 0.8)
+    gt_params = _smooth_gt_video(rng, f)
+    kp = _project_video(gt_params, gt_shape, spec, cam)
+
+    cfg = MultiFrameConfig(beta_pose=1.0, beta_shape=0.5, lambda_temporal=1.0,
+                           max_iters=150)
+    fit = build_multi_fitter(spec, cam, cfg, 10, dtype=jnp.float64)
+    params0 = jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1))
+    r0 = jnp.tile(jnp.asarray(init_root_rotation()), (f, 1, 1))
+    st = fit(params0, jnp.zeros(10, jnp.float64), jnp.asarray(kp), r0)
+
+    errs = []
+    for i in range(f):
+        joints = skeleton_joints_cam(st.params[i], st.shape, spec)
+        uv = np.asarray(project(joints, cam))
+        errs.append(np.linalg.norm(uv[USE_SMPL] - kp[i, :, 1:3], axis=-1).mean())
+    assert np.mean(errs) < 1.0, f"multi-frame fit pixel error {np.mean(errs)}"
+    assert int(st.n_accepted) > 5
+
+
+def test_shape_lock(mf_rig, rng):
+    """betaShape=1e5 is the reference's stage-2 'shape lock'
+    (src/main_multi_frame.cpp:163): the shared shape must stay ~at init."""
+    model, cam, spec = mf_rig
+    f = 4
+    gt_shape = jnp.asarray(rng.normal(size=10) * 1.0)
+    gt_params = _smooth_gt_video(rng, f)
+    kp = _project_video(gt_params, gt_shape, spec, cam)
+    cfg = MultiFrameConfig(beta_pose=5.0, beta_shape=1e5, lambda_temporal=3.0,
+                           max_iters=60)
+    fit = build_multi_fitter(spec, cam, cfg, 10, dtype=jnp.float64)
+    params0 = jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1))
+    r0 = jnp.tile(jnp.asarray(init_root_rotation()), (f, 1, 1))
+    st = fit(params0, jnp.zeros(10, jnp.float64), jnp.asarray(kp), r0)
+    assert float(jnp.abs(st.shape).max()) < 1e-3
+
+
+def test_strong_temporal_flattens_motion(mf_rig, rng):
+    model, cam, spec = mf_rig
+    f = 5
+    gt_params = _smooth_gt_video(rng, f)
+    kp = _project_video(gt_params, jnp.zeros(10), spec, cam)
+    cfg = MultiFrameConfig(beta_pose=1.0, beta_shape=1e5, lambda_temporal=1e4,
+                           max_iters=80)
+    fit = build_multi_fitter(spec, cam, cfg, 10, dtype=jnp.float64)
+    params0 = jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1))
+    r0 = jnp.tile(jnp.asarray(init_root_rotation()), (f, 1, 1))
+    st = fit(params0, jnp.zeros(10, jnp.float64), jnp.asarray(kp), r0)
+    # with a huge temporal weight, consecutive pose vectors collapse together
+    diffs = np.asarray(st.params[1:, 1:] - st.params[:-1, 1:])
+    assert np.abs(diffs).max() < 1e-3
+
+
+def test_padding_equivalence(mf_rig, rng):
+    """A window padded with invalid frames must give the same solution on
+    its real prefix as the unpadded solve."""
+    model, cam, spec = mf_rig
+    f_real, f_pad = 5, 8
+    gt_params = _smooth_gt_video(rng, f_real)
+    kp_real = _project_video(gt_params, jnp.zeros(10), spec, cam)
+    cfg = MultiFrameConfig(beta_pose=2.0, beta_shape=25.0, lambda_temporal=3.0,
+                           max_iters=40)
+
+    fit_real = build_multi_fitter(spec, cam, cfg, 10, dtype=jnp.float64)
+    params0 = jnp.tile(init_frame_params(dtype=jnp.float64), (f_real, 1))
+    r0 = jnp.tile(jnp.asarray(init_root_rotation()), (f_real, 1, 1))
+    st_real = fit_real(params0, jnp.zeros(10, jnp.float64),
+                       jnp.asarray(kp_real), r0)
+
+    kp_pad = np.zeros((f_pad, N_KP_SLOTS, 4))
+    kp_pad[:f_real] = kp_real
+    kp_pad[f_real:, :, 0] = USE_SMPL
+    params0p = jnp.tile(init_frame_params(dtype=jnp.float64), (f_pad, 1))
+    r0p = jnp.tile(jnp.asarray(init_root_rotation()), (f_pad, 1, 1))
+    valid = jnp.asarray(np.r_[np.ones(f_real), np.zeros(f_pad - f_real)])
+    fit_pad = build_multi_fitter(spec, cam, cfg, 10, dtype=jnp.float64)
+    st_pad = fit_pad(params0p, jnp.zeros(10, jnp.float64),
+                     jnp.asarray(kp_pad), r0p, valid)
+
+    np.testing.assert_allclose(np.asarray(st_pad.params[:f_real]),
+                               np.asarray(st_real.params), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_pad.shape),
+                               np.asarray(st_real.shape), atol=1e-6)
+
+
+def test_vmapped_windows(mf_rig, rng):
+    """Many sliding windows solve as one batched program (the 'full-video
+    batched fitting' config, BASELINE.json configs[3])."""
+    model, cam, spec = mf_rig
+    n_win, f = 3, 4
+    cfg = MultiFrameConfig(beta_pose=2.0, beta_shape=1e5, lambda_temporal=3.0,
+                           max_iters=30)
+    fit = build_multi_fitter(spec, cam, cfg, 10, dtype=jnp.float64)
+    kps, p0s = [], []
+    for k in range(n_win):
+        gtp = _smooth_gt_video(rng, f)
+        kps.append(_project_video(gtp, jnp.zeros(10), spec, cam))
+        p0s.append(jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1)))
+    kps = jnp.asarray(np.stack(kps))
+    p0s = jnp.stack(p0s)
+    r0 = jnp.tile(jnp.asarray(init_root_rotation()), (n_win, f, 1, 1))
+    w0 = jnp.zeros((n_win, 10), jnp.float64)
+    batched = jax.vmap(lambda a, b, c, d: fit(a, b, c, d))(p0s, w0, kps, r0)
+    single = fit(p0s[1], w0[1], kps[1], r0[1])
+    np.testing.assert_allclose(np.asarray(batched.params[1]),
+                               np.asarray(single.params), atol=1e-8)
