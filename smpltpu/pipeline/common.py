@@ -1,0 +1,161 @@
+"""Shared pipeline plumbing: dataset loading, log.csv sink, overlay
+rendering, fitted-parameter persistence."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smpltpu.constants import init_root_rotation
+from smpltpu.energy.reproj import Camera
+from smpltpu.io import load_keypoint_dir, load_pose_prior_txt, load_smpl_npz
+from smpltpu.io.keypoints import list_sorted
+from smpltpu.models import SMPLModel, smpl_forward
+from smpltpu.render import render_mesh_overlay
+from smpltpu.utils import default_intrinsics, mean_pixel_error
+from smpltpu.utils.image import imread, imwrite
+from smpltpu.utils.writeback import params_to_pose
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+
+def append_log(out_dir: str, rows: List[Tuple[int, float, float]]) -> str:
+    """Append rows to out_dir/log.csv with a header-once guard.
+
+    Schema parity: 'frame,mean_pixel_error_px,time_ms'
+    (src/main_single_frame.cpp:260-269, src/main_multi_frame.cpp:39-42).
+    """
+    path = os.path.join(out_dir, "log.csv")
+    exists = os.path.isfile(path)
+    with open(path, "a") as f:
+        if not exists:
+            f.write("frame,mean_pixel_error_px,time_ms\n")
+        for frame, err, ms in rows:
+            f.write(f"{frame},{err},{ms}\n")
+    return path
+
+
+def load_dataset(smpl_path: str, kps_folder: str, img_folder: str,
+                 midpoint_default_vis: float, dtype=jnp.float32,
+                 pose_prior_path: Optional[str] = None):
+    """Load model, images list + intrinsics from the first image, and the
+    dense keypoint batch. Returns dict or raises ValueError with the
+    reference's early-exit messages."""
+    images = list_sorted(img_folder, IMAGE_EXTS)
+    if not images:
+        raise ValueError(f"No images in {img_folder}")
+    img0 = imread(images[0])
+    if img0 is None:
+        raise ValueError(f"Failed to read {images[0]}")
+    height, width = img0.shape[:2]
+    cam = default_intrinsics(width, height, dtype=dtype)
+
+    model_dict = load_smpl_npz(smpl_path)
+    model = SMPLModel.from_dict(model_dict, dtype=dtype)
+
+    kp_batch, json_paths = load_keypoint_dir(
+        kps_folder, width, height, midpoint_default_vis)
+    if len(json_paths) == 0:
+        raise ValueError(f"No JSON files in {kps_folder}")
+
+    # pose prior: explicit path, else the avatar-model convention of a
+    # pose_prior.txt next to the npz
+    prior = None
+    candidate = pose_prior_path or os.path.join(
+        os.path.dirname(os.path.abspath(smpl_path)), "pose_prior.txt")
+    if os.path.isfile(candidate):
+        prior = load_pose_prior_txt(candidate)
+
+    return {
+        "model": model,
+        "model_dict": model_dict,
+        "cam": cam,
+        "images": images,
+        "json_paths": json_paths,
+        "kp_batch": kp_batch.astype(np.float64),
+        "width": width,
+        "height": height,
+        "gmm": prior,
+    }
+
+
+_eval_cache: dict = {}
+
+
+def batched_frame_eval(model: SMPLModel, params, shapes, r0, kp, cam: Camera,
+                       want_verts: bool = True):
+    """ONE jitted vmapped pass computing every frame's evaluation error and
+    (optionally) skinned vertices for rendering.
+
+    Replaces the reference's per-frame avatar.update() + mean_pixel_error
+    (src/main_single_frame.cpp:254-255); batching avoids paying the ~28 ms
+    device-dispatch latency once per frame per op.
+
+    params (F, P), shapes (F, nS), r0 (F, 3, 3), kp (F, K, 4).
+    Returns (errors (F,) np, verts (F, nV, 3) np or None).
+    """
+    key = (id(model), tuple(float(c) for c in cam), bool(want_verts))
+    if key not in _eval_cache:
+        def one(p, w, r, k):
+            pose = params_to_pose(p, r, model.num_joints)
+            out = smpl_forward(model, w, pose.rotations, pose.root_pos,
+                               want_verts=want_verts)
+            err = mean_pixel_error(out["joints"], k, cam)
+            return (err, out["verts"]) if want_verts else (err, None)
+        _eval_cache[key] = jax.jit(jax.vmap(one))
+    dtype = model.v_template.dtype
+    err, verts = _eval_cache[key](
+        jnp.asarray(params, dtype), jnp.asarray(shapes, dtype),
+        jnp.asarray(r0, dtype), jnp.asarray(kp, dtype))
+    return np.asarray(err), (None if verts is None else np.asarray(verts))
+
+
+def render_overlay_image(model: SMPLModel, verts_cam: np.ndarray,
+                         image_path: str, out_path: str, cam: Camera) -> bool:
+    """Host-side overlay render from precomputed camera-space vertices
+    (reference: renderSMPLMesh + imwrite, src/main_single_frame.cpp:273-277)."""
+    img = imread(image_path)
+    if img is None:
+        return False
+    render_mesh_overlay(
+        verts_cam, model.faces, img,
+        float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+        fill=True, backface_cull=True, wireframe=False)
+    return imwrite(out_path, img)
+
+
+def np_rodrigues(aa: np.ndarray) -> np.ndarray:
+    """Host-side angle-axis -> rotation matrix (write-back bookkeeping;
+    avoids a device round-trip per frame)."""
+    theta = float(np.linalg.norm(aa))
+    if theta < 1e-14:
+        return np.eye(3)
+    k = aa / theta
+    kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0.0]])
+    return np.eye(3) + np.sin(theta) * kx + (1 - np.cos(theta)) * (kx @ kx)
+
+
+def save_params(out_dir: str, name: str, params: np.ndarray,
+                shape: np.ndarray, extra: Optional[dict] = None) -> str:
+    """Persist fitted parameters (framework extension: the reference README
+    claims 'Save optimized parameters' but never does — SURVEY.md section 5
+    checkpoint/resume row; this also enables resume)."""
+    path = os.path.join(out_dir, name)
+    payload = {"params": np.asarray(params), "shape": np.asarray(shape)}
+    if extra:
+        payload.update({k: np.asarray(v) for k, v in extra.items()})
+    np.savez(path, **payload)
+    return path
+
+
+class StageTimer:
+    def __init__(self):
+        self.t0 = time.perf_counter()
+
+    def ms(self) -> float:
+        return (time.perf_counter() - self.t0) * 1e3

@@ -1,0 +1,282 @@
+"""``3dba_multi``-compatible CLI: two-stage multi-frame fitting
+(anchor frames with shared shape, then sliding-window refinement).
+
+Argv surface parity with src/main_multi_frame.cpp:15-36:
+
+    python -m smpltpu.pipeline.multi <SMPL.npz> <kps_folder> <image_folder>
+        <out_dir> [max_iters_s1=1000] [max_iters_s2=500] [anchor_skip=10]
+        [window=20] [overlap=5] [beta_pose=5.0] [beta_shape=25.0]
+        [lambda_temp=3.0]
+
+Reference quirks reproduced deliberately (SURVEY.md section 2.1):
+  * max_iters_s2 is parsed but stage 2 actually runs a hard-coded 60
+    iterations (src/main_multi_frame.cpp:30 vs :186); override with the
+    framework extension flag --s2-iters;
+  * stage-1 optimized anchor poses are NOT copied back into the global
+    pose array (:113-119, no write-back) — anchors contribute only through
+    the shared shape and each anchor avatar's root orientation r[0];
+  * per-frame fixed root orientation accumulates across solves
+    (r[0] <- R(rootAA) @ r[0], MultiFrameBA.h:163) while the pose array
+    keeps the optimized rootAA, so overlap frames start the next window
+    'doubly rotated' — self-consistent, costs a few LM iterations;
+  * stage-2 keeps betaShape = 1e5 as a shape lock (:163,183).
+
+Deviation (documented): the reference optimizes the first window-frame
+avatar's shape block under the 1e5 lock while other avatars keep the
+stage-1 shape (MultiFrameBA.h:67); we use ONE shared shape carried across
+windows — under the lock it moves by ~0, same optima.
+
+Fast path: --batched-windows solves ALL stage-2 windows at once (vmapped,
+the 'full-video batched fitting' config of BASELINE.json) instead of
+sequentially; sequential is the default for init-chaining parity.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smpltpu.constants import init_root_rotation
+from smpltpu.energy import make_skeleton_spec
+from smpltpu.energy.params import N_FRAME_PARAMS, init_frame_params
+from smpltpu.pipeline.common import (
+    StageTimer,
+    append_log,
+    batched_frame_eval,
+    load_dataset,
+    np_rodrigues,
+    render_overlay_image,
+    save_params,
+)
+from smpltpu.solve import MultiFrameConfig, build_multi_fitter
+
+USAGE = """usage: python -m smpltpu.pipeline.multi <SMPL.npz> <kps_folder> <image_folder> <out_dir>
+             [max_iters=120] [max_iters_stage2=120] [anchor_skip=15] [window=30] [overlap=10]
+             [beta_pose=5.0] [beta_shape=25.0]
+"""
+
+SHAPE_LOCK = 1e5  # src/main_multi_frame.cpp:163
+S2_ITERS_DEFAULT = 60  # hard-coded in the reference (:186)
+
+
+def parse_args(argv):
+    if len(argv) < 4:
+        return None
+    opts = {
+        "smpl_path": argv[0], "kps_folder": argv[1],
+        "img_folder": argv[2], "out_dir": argv[3],
+        "max_iters_s1": 1000, "max_iters_s2": 500, "skip": 10,
+        "wsize": 20, "overlap": 5, "beta_pose": 5.0, "beta_shape": 25.0,
+        "lambda_t": 3.0, "s2_iters": S2_ITERS_DEFAULT,
+        "batched_windows": False, "pose_prior": None,
+    }
+    positional = ["max_iters_s1", "max_iters_s2", "skip", "wsize", "overlap",
+                  "beta_pose", "beta_shape", "lambda_t"]
+    ints = {"max_iters_s1", "max_iters_s2", "skip", "wsize", "overlap"}
+    pos_idx = 0
+    rest = list(argv[4:])
+    while rest:
+        a = rest.pop(0)
+        if a == "--batched-windows":
+            opts["batched_windows"] = True
+        elif a == "--s2-iters" and rest:
+            opts["s2_iters"] = max(1, int(float(rest.pop(0))))
+        elif a == "--pose-prior" and rest:
+            opts["pose_prior"] = rest.pop(0)
+        elif pos_idx < len(positional):
+            key = positional[pos_idx]
+            opts[key] = int(float(a)) if key in ints else float(a)
+            pos_idx += 1
+        else:
+            print(f"[WARN] Unknown arg ignored: {a}", file=sys.stderr)
+    return opts
+
+
+def _pad_window(arr, start, end, wsize):
+    """Slice [start:end) padded to wsize along axis 0."""
+    out = np.zeros((wsize,) + arr.shape[1:], dtype=arr.dtype)
+    out[:end - start] = arr[start:end]
+    return out
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    opts = parse_args(argv)
+    if opts is None:
+        print(USAGE, end="")
+        return 0
+    os.makedirs(opts["out_dir"], exist_ok=True)
+
+    try:
+        ds = load_dataset(opts["smpl_path"], opts["kps_folder"],
+                          opts["img_folder"], midpoint_default_vis=1.0,
+                          pose_prior_path=opts["pose_prior"])
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    if len(ds["images"]) != len(ds["json_paths"]):
+        print("image / json count mismatch", file=sys.stderr)
+        return 1
+
+    model, cam = ds["model"], ds["cam"]
+    n_frames = ds["kp_batch"].shape[0]
+    print(f"[INFO] frames: {opts['img_folder']}  = {n_frames:4d}\n"
+          f"[INFO] anchor skip     : {opts['skip']}\n"
+          f"[INFO] window / overlap: {opts['wsize']} / {opts['overlap']}\n"
+          f"[INFO] beta_pose={opts['beta_pose']}  beta_shape={opts['beta_shape']}"
+          f"  lambda_temp={opts['lambda_t']}")
+
+    dtype = jnp.float32
+    spec = make_skeleton_spec(model, init_root_rotation(), with_shape=True)
+    kp = ds["kp_batch"].astype(np.float32)
+    poses = np.tile(np.asarray(init_frame_params(dtype=dtype)), (n_frames, 1))
+    r0 = np.tile(np.asarray(init_root_rotation(), dtype=np.float32),
+                 (n_frames, 1, 1))
+    shape_w = np.zeros(model.num_shapes, dtype=np.float32)
+
+    # ===================== stage 1: anchors =====================
+    anchor_idx = list(range(0, n_frames, opts["skip"]))
+    print(f"[INFO] stage-1  anchor frames = {len(anchor_idx)}")
+    cfg1 = MultiFrameConfig(beta_pose=opts["beta_pose"],
+                            beta_shape=opts["beta_shape"],
+                            lambda_temporal=opts["lambda_t"],
+                            max_iters=opts["max_iters_s1"])
+    fit1 = build_multi_fitter(spec, cam, cfg1, model.num_shapes, dtype=dtype)
+    a_p, a_w = jnp.asarray(poses[anchor_idx]), jnp.asarray(shape_w)
+    a_k, a_r = jnp.asarray(kp[anchor_idx]), jnp.asarray(r0[anchor_idx])
+    fit1(a_p, a_w, a_k, a_r).params.block_until_ready()  # compile warm-up
+    t1 = StageTimer()
+    st1 = fit1(a_p, a_w, a_k, a_r)
+    st1.params.block_until_ready()
+    ms_anchor = t1.ms()
+    print(f"[INFO] stage-1 done  ({'success' if bool(jnp.isfinite(st1.cost)) else 'fail'})"
+          f"  in {ms_anchor} ms\n"
+          f"accepted steps: {int(st1.n_accepted)}, final cost: {float(st1.cost):.3f}")
+
+    anchor_params = np.asarray(st1.params)
+    shape_w = np.asarray(st1.shape)
+    anchor_errs, _ = batched_frame_eval(
+        model, anchor_params, np.tile(shape_w, (len(anchor_idx), 1)),
+        r0[anchor_idx], kp[anchor_idx], cam, want_verts=False)
+    append_log(opts["out_dir"],
+               [(fid, float(anchor_errs[k]), ms_anchor / len(anchor_idx))
+                for k, fid in enumerate(anchor_idx)])
+
+    # write-back effects (and ONLY these — anchor poses deliberately not
+    # copied into `poses`, reproducing the reference quirk):
+    for k, fid in enumerate(anchor_idx):
+        r0[fid] = np_rodrigues(anchor_params[k, 1:4]) @ r0[fid]
+
+    # ===================== stage 2: sliding windows =====================
+    stride = opts["wsize"] - opts["overlap"]
+    if stride <= 0:
+        print("window must exceed overlap", file=sys.stderr)
+        return 1
+    starts = list(range(0, n_frames, stride))
+    cfg2 = MultiFrameConfig(beta_pose=opts["beta_pose"],
+                            beta_shape=SHAPE_LOCK,
+                            lambda_temporal=opts["lambda_t"],
+                            max_iters=opts["s2_iters"])
+    fit2 = build_multi_fitter(spec, cam, cfg2, model.num_shapes, dtype=dtype)
+
+    rendered = np.zeros(n_frames, dtype=bool)
+    # r0 accumulates write-backs; r0_fit[i] is the R0 in effect when
+    # poses[i] was last fitted — rendering/eval must pair poses[i] with
+    # r0_fit[i] (pairing with the updated r0 would apply rootAA twice)
+    r0_fit = r0.copy()
+    wsize = opts["wsize"]
+
+    def window_inputs(s):
+        e = min(s + wsize, n_frames)
+        valid = np.zeros(wsize, np.float32)
+        valid[:e - s] = 1.0
+        return (e,
+                jnp.asarray(_pad_window(poses, s, e, wsize)),
+                jnp.asarray(_pad_window(kp, s, e, wsize)),
+                jnp.asarray(_pad_window(r0, s, e, wsize)),
+                jnp.asarray(valid))
+
+    # per-frame fitted vertex cache so tail rendering needs no re-forward
+    verts_cache = np.zeros((n_frames, model.num_verts, 3), np.float32)
+
+    def finish_window(s, e, fitted, ms_win, r0_solve):
+        """Write-back + logging + render for one solved window.
+        r0_solve is the per-frame R0 the solve actually used (in batched
+        mode all windows share the post-stage-1 R0 snapshot)."""
+        n_w = e - s
+        errs, verts = batched_frame_eval(
+            model, fitted[:n_w], np.tile(shape_w, (n_w, 1)),
+            r0_solve[:n_w], kp[s:e], cam)
+        append_log(opts["out_dir"],
+                   [(i, float(errs[i - s]), ms_win / n_w) for i in range(s, e)])
+        # write-back: poses keep the optimized values; r0 absorbs rootAA
+        poses[s:e] = fitted[:n_w]
+        r0_fit[s:e] = r0_solve[:n_w]
+        verts_cache[s:e] = verts[:n_w]
+        for i in range(s, e):
+            r0[i] = np_rodrigues(fitted[i - s, 1:4]) @ r0_solve[i - s]
+        # render frames no later window touches
+        last_fixed = min(e, s + stride)
+        for i in range(s, last_fixed):
+            if rendered[i] or i >= len(ds["images"]):
+                continue
+            render_overlay_image(
+                model, verts_cache[i], ds["images"][i],
+                os.path.join(opts["out_dir"], f"frame_{i}_multi.png"), cam)
+            rendered[i] = True
+
+    if opts["batched_windows"]:
+        packs = [window_inputs(s) for s in starts]
+        bp = jnp.stack([p[1] for p in packs])
+        bk = jnp.stack([p[2] for p in packs])
+        br = jnp.stack([p[3] for p in packs])
+        bv = jnp.stack([p[4] for p in packs])
+        bw = jnp.tile(jnp.asarray(shape_w), (len(starts), 1))
+        t2 = StageTimer()
+        st2 = jax.jit(jax.vmap(lambda a, b, c, d, e: fit2(a, b, c, d, e)))(
+            bp, bw, bk, br, bv)
+        st2.params.block_until_ready()
+        ms_total = t2.ms()
+        for wi, s in enumerate(starts):
+            e = packs[wi][0]
+            finish_window(s, e, np.asarray(st2.params[wi]),
+                          ms_total / len(starts), np.asarray(packs[wi][3]))
+    else:
+        first = True
+        for s in starts:
+            e, wp, wk, wr, wv = window_inputs(s)
+            if first:  # compile warm-up so the first window's time is real
+                fit2(wp, jnp.asarray(shape_w), wk, wr, wv).params.block_until_ready()
+                first = False
+            print(f"[INFO] window [{s},{e})  solving ...", flush=True)
+            t2 = StageTimer()
+            st2 = fit2(wp, jnp.asarray(shape_w), wk, wr, wv)
+            st2.params.block_until_ready()
+            ms_win = t2.ms()
+            ok = bool(jnp.isfinite(st2.cost))
+            print(f"  -> {'OK' if ok else 'FAIL'}  ({ms_win} ms)")
+            shape_w = np.asarray(st2.shape)  # moves ~0 under the lock
+            finish_window(s, e, np.asarray(st2.params), ms_win, np.asarray(wr))
+
+    # tail frames (last OVERLAP ones)
+    for i in range(n_frames):
+        if rendered[i] or i >= len(ds["images"]):
+            continue
+        render_overlay_image(
+            model, verts_cache[i], ds["images"][i],
+            os.path.join(opts["out_dir"], f"frame_{i}_multi.png"), cam)
+        rendered[i] = True
+
+    save_params(opts["out_dir"], "params_multi.npz", poses, shape_w,
+                extra={"r0_fit": r0_fit})
+    print(f"[INFO] rendering finished, saved to  {opts['out_dir']}")
+    print("done.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,179 @@
+"""``3dba_single``-compatible CLI: per-frame independent SMPL fitting.
+
+Argv surface parity with src/main_single_frame.cpp:105-161:
+
+    python -m smpltpu.pipeline.single <SMPL.npz> <kps_folder> <images_folder>
+        <out_dir> [max_iters=100] [beta_pose=20] [beta_shape=30]
+        [--opt-shape] [--use-gmm]
+
+Up to three numeric optionals are consumed IN ORDER (max_iters, beta_pose,
+beta_shape), interleaved anywhere with the flags; unknown tokens warn and
+are ignored — exactly the reference's hand-rolled parser. Outputs parity:
+out_dir/log.csv ('frame,mean_pixel_error_px,time_ms', append, header once)
+and out_dir/frame_<i>_render.png overlays; frames with no valid keypoints
+are skipped (no log row, no render).
+
+TPU-first deviation (results-identical): the reference loops frames
+serially, rebuilding a Ceres problem per frame (:192-246); here ALL frames
+fit in ONE batched vmapped LM solve — per-frame problems are independent,
+so the optima are the same; the logged time_ms is each frame's equal share
+of the batched solve. Framework extension: fitted parameters are saved to
+out_dir/params_single.npz.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from smpltpu.constants import init_root_rotation
+from smpltpu.energy.params import N_FRAME_PARAMS, init_frame_params
+from smpltpu.pipeline.common import (
+    StageTimer,
+    append_log,
+    batched_frame_eval,
+    load_dataset,
+    render_overlay_image,
+    save_params,
+)
+from smpltpu.solve import build_fitter, make_single_frame_problem
+
+USAGE = """usage: python -m smpltpu.pipeline.single <SMPL.npz> <kps_folder> <images_folder> <out_dir>
+                   [max_iters=100] [beta_pose=20] [beta_shape=30]
+                   [--opt-shape] [--use-gmm]
+"""
+
+
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def parse_args(argv):
+    """Reference parser semantics (src/main_single_frame.cpp:115-155)."""
+    if len(argv) < 4:
+        return None
+    opts = {
+        "smpl_path": argv[0], "kps_folder": argv[1],
+        "img_folder": argv[2], "out_dir": argv[3],
+        "max_iters": 100, "beta_pose": 20.0, "beta_shape": 30.0,
+        "opt_shape": False, "use_gmm": False, "pose_prior": None,
+    }
+    seen_numeric = 0
+    rest = list(argv[4:])
+    while rest:
+        a = rest.pop(0)
+        if a == "--opt-shape":
+            opts["opt_shape"] = True
+        elif a == "--use-gmm":
+            opts["use_gmm"] = True
+        elif a == "--pose-prior" and rest:  # framework extension
+            opts["pose_prior"] = rest.pop(0)
+        elif _is_number(a):
+            if seen_numeric == 0:
+                opts["max_iters"] = max(1, int(float(a)))
+            elif seen_numeric == 1:
+                opts["beta_pose"] = float(a)
+            elif seen_numeric == 2:
+                opts["beta_shape"] = float(a)
+            seen_numeric += 1
+        else:
+            print(f"[WARN] Unknown arg ignored: {a}", file=sys.stderr)
+    return opts
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    opts = parse_args(argv)
+    if opts is None:
+        print(USAGE, end="")
+        return 0
+    print(f"[ARGS] max_iters={opts['max_iters']}  beta_pose={opts['beta_pose']}"
+          f"  beta_shape={opts['beta_shape']}  opt_shape={str(opts['opt_shape']).lower()}"
+          f"  use_gmm={str(opts['use_gmm']).lower()}")
+
+    os.makedirs(opts["out_dir"], exist_ok=True)
+    try:
+        # the single-frame main's own (divergent) loader defaults midpoint
+        # visibility to 0.0 (src/main_single_frame.cpp:78)
+        ds = load_dataset(opts["smpl_path"], opts["kps_folder"],
+                          opts["img_folder"], midpoint_default_vis=0.0,
+                          pose_prior_path=opts["pose_prior"])
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+
+    model, cam = ds["model"], ds["cam"]
+    gmm = ds["gmm"] if opts["use_gmm"] else None
+    n_comps = 0 if ds["gmm"] is None else len(ds["gmm"]["weights"])
+    print(f"Pose prior components: {n_comps}  "
+          f"(GMM {'ON' if opts['use_gmm'] else 'OFF'})")
+    if opts["use_gmm"] and gmm is None:
+        print("[WARN] --use-gmm requested but no pose_prior.txt found; "
+              "falling back to L2 pose prior", file=sys.stderr)
+
+    prob = make_single_frame_problem(
+        model, init_root_rotation(), cam,
+        beta_pose=opts["beta_pose"], beta_shape=opts["beta_shape"],
+        opt_shape=opts["opt_shape"], gmm_dict=gmm)
+
+    kp = ds["kp_batch"]
+    n_frames = kp.shape[0]
+    dtype = jnp.float32
+    x0_one = init_frame_params(dtype=dtype)
+    if opts["opt_shape"]:
+        x0_one = jnp.concatenate([x0_one, jnp.zeros(model.num_shapes, dtype)])
+    x0 = jnp.tile(x0_one, (n_frames, 1))
+
+    fitter = build_fitter(prob, max_iters=opts["max_iters"], dtype=dtype)
+    kp_dev = jnp.asarray(kp, dtype)
+    timer = StageTimer()
+    state = fitter(x0, kp_dev)
+    state.x.block_until_ready()
+    first_ms = timer.ms()
+    # re-run the (deterministic) compiled solve to time it without the
+    # one-off XLA compilation, matching the reference's timer which wraps
+    # only ceres::Solve (src/main_single_frame.cpp:234-249)
+    timer = StageTimer()
+    state = fitter(x0, kp_dev)
+    state.x.block_until_ready()
+    total_ms = timer.ms()
+    print(f"[INFO] batched solve: {total_ms:.1f} ms for {n_frames} frames "
+          f"(+{first_ms - total_ms:.0f} ms one-off compile)")
+    per_frame_ms = total_ms / max(n_frames, 1)
+
+    r0 = np.asarray(init_root_rotation())
+    params = np.asarray(state.x[:, :N_FRAME_PARAMS])
+    shapes = (np.asarray(state.x[:, N_FRAME_PARAMS:]) if opts["opt_shape"]
+              else np.zeros((n_frames, model.num_shapes)))
+
+    errors, verts = batched_frame_eval(
+        model, params, shapes, np.tile(r0, (n_frames, 1, 1)), kp, cam)
+
+    rows = []
+    valid_frames = kp[:, :, 3].sum(axis=1) > 0
+    for i in range(n_frames):
+        if not valid_frames[i]:
+            print(f"Frame {i} has no valid keypoints; skipping.", file=sys.stderr)
+            continue
+        rows.append((i, float(errors[i]), per_frame_ms))
+        if i < len(ds["images"]):
+            render_overlay_image(
+                model, verts[i], ds["images"][i],
+                os.path.join(opts["out_dir"], f"frame_{i}_render.png"), cam)
+    append_log(opts["out_dir"], rows)
+    save_params(opts["out_dir"], "params_single.npz", params, shapes,
+                extra={"converged": np.asarray(state.converged),
+                       "cost": np.asarray(state.cost)})
+    print("Done.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,169 @@
+"""End-to-end CLI tests: build a tiny synthetic dataset on disk (model npz,
+keypoint JSONs, frame PNGs), run both pipeline mains in-process, check
+outputs (log.csv schema, renders, params npz, skip-empty-frame parity)."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smpltpu.constants import MP_MAP, init_root_rotation
+from smpltpu.energy import make_skeleton_spec, skeleton_joints_cam
+from smpltpu.energy.params import FrameParams, pack_frame_params
+from smpltpu.energy.reproj import project
+from smpltpu.io import save_pose_prior_txt, save_smpl_npz
+from smpltpu.models import SMPLModel
+from smpltpu.models.synthetic import make_synthetic_gmm, make_synthetic_model
+from smpltpu.pipeline import multi as multi_cli
+from smpltpu.pipeline import single as single_cli
+from smpltpu.utils import default_intrinsics
+from smpltpu.utils.image import imread, imwrite
+
+W, H = 128, 160
+N_FRAMES = 7
+
+
+def _make_dataset(tmp_path, rng, empty_frames=(2,), with_prior=False):
+    """Synthetic video dataset: keypoint JSONs in MediaPipe format + PNGs."""
+    root = tmp_path
+    model_dict = make_synthetic_model(n_verts=200, seed=0)
+    model_path = str(root / "model.npz")
+    save_smpl_npz(model_path, model_dict)
+    if with_prior:
+        gmm = make_synthetic_gmm(seed=0)
+        save_pose_prior_txt(str(root / "pose_prior.txt"),
+                            gmm["weights"], gmm["means"], gmm["covs"])
+
+    model = SMPLModel.from_dict(model_dict, dtype=jnp.float64)
+    cam = default_intrinsics(W, H, dtype=jnp.float64)
+    spec = make_skeleton_spec(model, init_root_rotation(), with_shape=False)
+
+    kp_dir = root / "kps"
+    img_dir = root / "imgs"
+    kp_dir.mkdir()
+    img_dir.mkdir()
+
+    base_aa = rng.normal(size=(23, 3)) * 0.1
+    for f in range(N_FRAMES):
+        img = np.full((H, W, 3), 30, np.uint8)
+        imwrite(str(img_dir / f"frame_{f:04d}.png"), img)
+        if f in empty_frames:
+            (kp_dir / f"frame_{f:04d}.json").write_text("[]")
+            continue
+        vec = pack_frame_params(FrameParams(
+            scale=jnp.asarray(1.0), root_aa=jnp.asarray(rng.normal(size=3) * 0.05),
+            root_t=jnp.asarray(np.array([0.0, 0.0, 3.2])),
+            joint_aa=jnp.asarray(base_aa + 0.01 * f)))
+        joints = skeleton_joints_cam(vec, jnp.zeros(10), spec)
+        uv = np.asarray(project(joints, cam))
+        # write a MediaPipe-style 33-landmark JSON: fill the landmarks the
+        # MP_MAP consumes with projected joints, normalized coords
+        lms = [{"x": 0.0, "y": 0.0, "z": 0.0, "visibility": 0.0}] * 33
+        lms = [dict(lm) for lm in lms]
+        for sid in range(24):
+            mp = int(MP_MAP[sid])
+            if mp >= 0:
+                lms[mp] = {"x": uv[sid, 0] / W, "y": uv[sid, 1] / H,
+                           "z": 0.0, "visibility": 0.95}
+        # hips 23/24 around pelvis (joint 0), shoulders 11/12 already set
+        for mp_id, jid in ((23, 1), (24, 2)):
+            lms[mp_id] = {"x": uv[jid, 0] / W, "y": uv[jid, 1] / H,
+                          "z": 0.0, "visibility": 0.95}
+        (kp_dir / f"frame_{f:04d}.json").write_text(json.dumps(lms))
+    return model_path, str(kp_dir), str(img_dir)
+
+
+def test_single_cli_end_to_end(tmp_path, rng):
+    model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng)
+    out_dir = str(tmp_path / "out")
+    rc = single_cli.main([model_path, kp_dir, img_dir, out_dir,
+                          "30", "1.0", "0.0"])
+    assert rc == 0
+    log = open(os.path.join(out_dir, "log.csv")).read().splitlines()
+    assert log[0] == "frame,mean_pixel_error_px,time_ms"
+    frames_logged = [int(r.split(",")[0]) for r in log[1:]]
+    assert 2 not in frames_logged          # empty frame skipped
+    assert len(frames_logged) == N_FRAMES - 1
+    errs = [float(r.split(",")[1]) for r in log[1:]]
+    assert np.mean(errs) < 20.0            # fitted, not garbage
+    assert os.path.isfile(os.path.join(out_dir, "frame_0_render.png"))
+    assert not os.path.isfile(os.path.join(out_dir, "frame_2_render.png"))
+    saved = np.load(os.path.join(out_dir, "params_single.npz"))
+    assert saved["params"].shape == (N_FRAMES, 76)
+    # log.csv appends on rerun with a single header (reference parity)
+    rc = single_cli.main([model_path, kp_dir, img_dir, out_dir, "5", "1.0", "0.0"])
+    assert rc == 0
+    log2 = open(os.path.join(out_dir, "log.csv")).read().splitlines()
+    assert log2.count("frame,mean_pixel_error_px,time_ms") == 1
+    assert len(log2) == 1 + 2 * (N_FRAMES - 1)
+
+
+def test_single_cli_usage_and_arg_quirks(tmp_path, capsys):
+    assert single_cli.main([]) == 0
+    assert "usage:" in capsys.readouterr().out
+    opts = single_cli.parse_args(["a", "b", "c", "d", "--use-gmm", "50",
+                                  "--opt-shape", "7.5", "bogus", "2.5", "9"])
+    assert opts["max_iters"] == 50 and opts["beta_pose"] == 7.5
+    assert opts["beta_shape"] == 2.5
+    assert opts["opt_shape"] and opts["use_gmm"]  # 4th numeric '9' ignored
+
+
+def test_single_cli_gmm(tmp_path, rng):
+    model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng, with_prior=True)
+    out_dir = str(tmp_path / "out_gmm")
+    rc = single_cli.main([model_path, kp_dir, img_dir, out_dir,
+                          "20", "5.0", "0.0", "--use-gmm"])
+    assert rc == 0
+    assert os.path.isfile(os.path.join(out_dir, "log.csv"))
+
+
+def test_multi_cli_end_to_end(tmp_path, rng):
+    model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng, empty_frames=())
+    out_dir = str(tmp_path / "out_multi")
+    rc = multi_cli.main([model_path, kp_dir, img_dir, out_dir,
+                         "40", "40", "3", "4", "1", "2.0", "25.0", "1.0",
+                         "--s2-iters", "25"])
+    assert rc == 0
+    log = open(os.path.join(out_dir, "log.csv")).read().splitlines()
+    assert log[0] == "frame,mean_pixel_error_px,time_ms"
+    # anchor rows (skip=3 -> frames 0,3,6) then window rows for all frames
+    anchor_rows = [int(r.split(",")[0]) for r in log[1:4]]
+    assert anchor_rows == [0, 3, 6]
+    for i in range(N_FRAMES):
+        assert os.path.isfile(os.path.join(out_dir, f"frame_{i}_multi.png"))
+    saved = np.load(os.path.join(out_dir, "params_multi.npz"))
+    assert saved["params"].shape == (N_FRAMES, 76)
+    assert saved["shape"].shape == (10,)
+    errs = [float(r.split(",")[1]) for r in log[4:]]
+    assert np.mean(errs) < 25.0
+
+
+def test_multi_cli_batched_windows_matches_outputs(tmp_path, rng):
+    model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng, empty_frames=())
+    out_seq = str(tmp_path / "o_seq")
+    out_bat = str(tmp_path / "o_bat")
+    args = [model_path, kp_dir, img_dir, None,
+            "30", "30", "3", "4", "1", "2.0", "25.0", "1.0", "--s2-iters", "20"]
+    for out, extra in ((out_seq, []), (out_bat, ["--batched-windows"])):
+        a = list(args)
+        a[3] = out
+        assert multi_cli.main(a + extra) == 0
+    # both produce full outputs; solutions differ only via window init
+    # chaining, so final errors are comparable
+    for out in (out_seq, out_bat):
+        log = open(os.path.join(out, "log.csv")).read().splitlines()
+        assert len(log) > N_FRAMES
+    e_seq = [float(r.split(",")[1]) for r in
+             open(os.path.join(out_seq, "log.csv")).read().splitlines()[4:]]
+    e_bat = [float(r.split(",")[1]) for r in
+             open(os.path.join(out_bat, "log.csv")).read().splitlines()[4:]]
+    assert abs(np.mean(e_seq) - np.mean(e_bat)) < 10.0
+
+
+def test_multi_cli_count_mismatch(tmp_path, rng):
+    model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng)
+    os.remove(os.path.join(img_dir, "frame_0006.png"))
+    rc = multi_cli.main([model_path, kp_dir, img_dir, str(tmp_path / "o")])
+    assert rc == 1
