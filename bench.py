@@ -1,0 +1,137 @@
+"""Headline benchmark: full-video batched SMPL fitting throughput.
+
+Workload (BASELINE.md target row: >= 100 frames/sec fitted, 1000-frame
+video): synthesize MediaPipe-like keypoints for 1000 frames from known
+smooth poses, then run the stage-2 production path — 20-frame sliding
+windows (overlap 5, shape locked), ALL windows solved at once as one
+vmapped multi-frame LM batch (60 iterations each) on the TPU.
+
+Prints exactly ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is value / 100 (the v5e-8 target from BASELINE.json; this
+round's number runs on however many chips are visible — one under the
+driver's tunnel).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "1000"))
+WSIZE = 20
+OVERLAP = 5
+S2_ITERS = 60
+TARGET_FPS = 100.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from smpltpu.constants import N_KP_SLOTS, USE_SMPL, init_root_rotation
+    from smpltpu.energy import make_skeleton_spec, skeleton_joints_cam
+    from smpltpu.energy.params import FrameParams, init_frame_params, pack_frame_params
+    from smpltpu.energy.reproj import project
+    from smpltpu.models import SMPLModel, make_synthetic_model
+    from smpltpu.solve import MultiFrameConfig, build_multi_fitter
+    from smpltpu.utils import default_intrinsics
+
+    log(f"bench: devices = {jax.devices()}")
+    rng = np.random.default_rng(0)
+    model = SMPLModel.from_dict(make_synthetic_model(), dtype=jnp.float32)
+    cam = default_intrinsics(720, 1280)
+    spec = make_skeleton_spec(model, init_root_rotation(), with_shape=True)
+    r0c = np.asarray(init_root_rotation(), np.float32)
+
+    # smooth ground-truth motion -> projected keypoints + 1px noise
+    base = rng.normal(size=(23, 3)) * 0.15
+    drift = rng.normal(size=(23, 3)) * 0.003
+    gt = jnp.stack([
+        pack_frame_params(FrameParams(
+            scale=jnp.float32(1.0),
+            root_aa=jnp.asarray([2e-3 * f, 1e-3 * f, 0.0], jnp.float32),
+            root_t=jnp.asarray([0.1 + 1e-3 * f, -0.1, 3.2], jnp.float32),
+            joint_aa=jnp.asarray(base + f * drift, jnp.float32)))
+        for f in range(N_FRAMES)])
+    uv = np.asarray(jax.jit(jax.vmap(
+        lambda p: project(skeleton_joints_cam(
+            p, jnp.zeros(10, jnp.float32), spec), cam)))(gt))
+    kp = np.zeros((N_FRAMES, N_KP_SLOTS, 4), np.float32)
+    kp[:, :, 0] = USE_SMPL
+    kp[:, :, 1:3] = uv[:, USE_SMPL] + rng.normal(
+        size=(N_FRAMES, N_KP_SLOTS, 2)).astype(np.float32)
+    kp[:, :, 3] = 1.0
+
+    # window batch
+    stride = WSIZE - OVERLAP
+    starts = list(range(0, N_FRAMES, stride))
+    n_win = len(starts)
+    kpw = np.zeros((n_win, WSIZE, N_KP_SLOTS, 4), np.float32)
+    kpw[:, :, :, 0] = USE_SMPL
+    validw = np.zeros((n_win, WSIZE), np.float32)
+    for i, s in enumerate(starts):
+        e = min(s + WSIZE, N_FRAMES)
+        kpw[i, :e - s] = kp[s:e]
+        validw[i, :e - s] = 1.0
+
+    cfg = MultiFrameConfig(beta_pose=5.0, beta_shape=1e5, lambda_temporal=3.0,
+                           max_iters=S2_ITERS)
+    fit = build_multi_fitter(spec, cam, cfg, 10)
+    bfit = jax.jit(jax.vmap(lambda a, b, c, d, e: fit(a, b, c, d, e)))
+
+    p0 = jnp.tile(init_frame_params(), (n_win, WSIZE, 1))
+    w0 = jnp.zeros((n_win, 10), jnp.float32)
+    r0 = jnp.tile(jnp.asarray(r0c), (n_win, WSIZE, 1, 1))
+    kpj = jnp.asarray(kpw)
+    vj = jnp.asarray(validw)
+
+    log(f"bench: {n_win} windows x {WSIZE} frames x {S2_ITERS} LM iters; compiling...")
+    t0 = time.perf_counter()
+    st = bfit(p0, w0, kpj, r0, vj)
+    st.params.block_until_ready()
+    log(f"bench: compile+first solve {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st = bfit(p0, w0, kpj, r0, vj)
+        st.params.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    fps = N_FRAMES / dt
+    log(f"bench: steady-state {dt * 1e3:.0f} ms -> {fps:.0f} frames/s; "
+        f"runs: {[f'{t * 1e3:.0f}ms' for t in times]}")
+
+    # sanity: the fit must actually have converged to a sensible error
+    errs = []
+    pa = np.asarray(st.params)
+    sample_joints = jax.jit(jax.vmap(
+        lambda p, w: project(skeleton_joints_cam(p, w, spec), cam)))
+    for i in range(0, n_win, max(1, n_win // 8)):
+        s = starts[i]
+        e = min(s + WSIZE, N_FRAMES)
+        uvs = np.asarray(sample_joints(
+            st.params[i, :e - s], jnp.tile(st.shape[i], (e - s, 1))))
+        for k in range(0, e - s, 5):
+            errs.append(np.linalg.norm(
+                uvs[k][USE_SMPL] - kp[s + k, :, 1:3], axis=-1).mean())
+    px = float(np.mean(errs))
+    log(f"bench: residual pixel error {px:.2f}px (obs noise 1.4px)")
+
+    print(json.dumps({
+        "metric": "solver_throughput_frames_per_sec_1000frame_video",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

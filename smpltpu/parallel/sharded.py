@@ -1,0 +1,237 @@
+"""Sharded solvers over the device mesh.
+
+Two production paths:
+
+1. ``sharded_window_fit`` — data-parallel sliding windows: each device
+   solves its slice of the window batch with the single-chip multi-frame
+   fitter (stage-2 of the pipeline; windows are independent once the shape
+   is locked, so this is pure DP over ICI with no communication until the
+   results gather).
+
+2. ``sharded_gn_step`` — one damped Gauss-Newton step of the SHARED-SHAPE
+   multi-frame problem with FRAMES sharded across the mesh (stage-1
+   anchors at scale). Per-shard: vmapped jacfwd assembly of the local
+   normal-equation blocks. Cross-shard: the 10x10 shape Schur pieces
+   reduce with ``psum``; the temporal stencil's nearest-neighbor coupling
+   uses one ``ppermute`` halo row per side inside a block-Jacobi
+   preconditioned conjugate-gradient solve of the full SPD system
+   [T B; B^T C]. All collectives ride the ICI ring.
+
+This subsystem replaces nothing in the reference (it has no distributed
+layer, SURVEY.md section 2.4) — it is the TPU-native scaling story that
+lets one 1000-frame video optimize as one sharded batched solve.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from smpltpu.energy import Camera, SkeletonSpec, keypoint_residuals
+from smpltpu.energy.params import frame_param_layout
+from smpltpu.energy.temporal import temporal_mask
+from smpltpu.solve.multi_frame import MultiFrameConfig, _pose_prior_sel
+
+
+# ---------------------------------------------------------------------
+# path 1: DP over windows
+# ---------------------------------------------------------------------
+def sharded_window_fit(mesh: Mesh, fitter, params0, shape0, kp, r0,
+                       frame_valid, axis: str = "frames"):
+    """vmap the single-chip window fitter and shard the window axis over
+    the mesh. `fitter` is a build_multi_fitter result; inputs carry a
+    leading window axis divisible by the mesh size."""
+    spec_in = NamedSharding(mesh, P(axis))
+    args = [jax.device_put(a, spec_in)
+            for a in (params0, shape0, kp, r0, frame_valid)]
+    batched = jax.jit(jax.vmap(lambda a, b, c, d, e: fitter(a, b, c, d, e)))
+    return batched(*args)
+
+
+# ---------------------------------------------------------------------
+# path 2: frames sharded, shared shape, halo-exchange PCG
+# ---------------------------------------------------------------------
+class GNStepResult(NamedTuple):
+    params: jnp.ndarray  # (F, P) updated
+    shape: jnp.ndarray   # (nS,) updated (replicated)
+    cg_residual: jnp.ndarray  # () final CG residual norm
+
+
+def build_sharded_gn_step(
+    mesh: Mesh,
+    spec: SkeletonSpec,
+    cam: Camera,
+    cfg: MultiFrameConfig,
+    n_shapes: int,
+    cg_iters: int = 64,
+    damping: float = 1e-3,
+    axis: str = "frames",
+    dtype=jnp.float32,
+):
+    """Return a jitted fn(params (F,P), shape (nS,), kp (F,K,4), r0 (F,3,3))
+    -> GNStepResult performing ONE damped GN/LM step with frames sharded.
+
+    F must be divisible by the mesh size. The step solves
+        [T + lam*diag, B; B^T, C + lam*diag] d = -g
+    by block-Jacobi-preconditioned CG, where T's off-diagonal temporal
+    blocks couple across shard boundaries via ppermute halo rows.
+    """
+    n_joints = len(spec.parents)
+    lay = frame_param_layout(n_joints)
+    p_dim = lay["total"]
+    bp = jnp.asarray(cfg.beta_pose, dtype)
+    bs = jnp.asarray(cfg.beta_shape, dtype)
+    lam_t = jnp.asarray(cfg.lambda_temporal, dtype)
+    tmask = temporal_mask(n_joints, dtype)
+    psel = _pose_prior_sel(n_joints, dtype)
+    aa_slice = slice(lay["joint_aa"][0], lay["joint_aa"][1])
+    n_dev = mesh.shape[axis]
+
+    def kp_res(p_f, w, kp_f, r0_f):
+        return keypoint_residuals(p_f, w, kp_f, cam, spec, r0_f)
+
+    def local_assembly(params, w, kp, r0):
+        """Per-shard normal-equation pieces (no communication)."""
+        def one(p_f, kp_f, r0_f):
+            r = kp_res(p_f, w, kp_f, r0_f)
+            jp = jax.jacfwd(lambda q: kp_res(q, w, kp_f, r0_f))(p_f)
+            jw = jax.jacfwd(lambda v: kp_res(p_f, v, kp_f, r0_f))(w)
+            blocks = r.reshape(-1, 2)
+            s = jnp.sum(blocks * blocks, axis=-1)
+            irls = jnp.sqrt(jnp.minimum(1.0, cfg.huber_delta /
+                                        jnp.sqrt(jnp.maximum(s, 1e-24))))
+            rw = jnp.repeat(irls, 2)
+            r, jp, jw = r * rw, jp * rw[:, None], jw * rw[:, None]
+            return jp.T @ jp, jp.T @ jw, jw.T @ jw, jp.T @ r, jw.T @ r
+
+        return jax.vmap(one)(params, kp, r0)
+
+    def gn_step_spmd(params, w, kp, r0, pair_c):
+        """Runs inside shard_map: params (F_loc, P) local shard, w (nS,)
+        replicated, pair_c (F_loc,) = temporal pair weight between local
+        frame f and GLOBAL frame f+1 (0 on the last global frame)."""
+        idx = jax.lax.axis_index(axis)
+        f_loc = params.shape[0]
+
+        h_pp, b_pw, h_ww, g_p, g_w_loc = local_assembly(params, w, kp, r0)
+
+        # priors
+        h_pp = h_pp + (bp * bp) * jnp.diag(psel)[None]
+        g_p = g_p + (bp * bp) * psel[None, :] * params
+
+        # temporal: needs next shard's first frame (halo)
+        perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]  # send to next
+        perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+        def halo_next(x):
+            """x (F_loc, P) -> row of GLOBAL frame f_end+1 (next shard's
+            first row), garbage on the last shard (masked by pair_c=0)."""
+            first = x[0]
+            return jax.lax.ppermute(first, axis, perm_bwd)
+
+        def halo_prev(x):
+            last = x[-1]
+            return jax.lax.ppermute(last, axis, perm_fwd)
+
+        lam2 = (lam_t * pair_c) ** 2                      # (F_loc,)
+        lam2_prev_last = jax.lax.ppermute(lam2[-1], axis, perm_fwd)
+        lam2_prev = jnp.concatenate([lam2_prev_last[None], lam2[:-1]])
+
+        # degree term on the diagonal
+        deg = lam2 + lam2_prev
+        h_pp_d = h_pp + deg[:, None, None] * jnp.diag(tmask)[None]
+
+        # temporal gradient: lam2_f * m (p_f - p_{f+1}) - lam2_{f-1} * m (p_{f-1} - p_f)
+        p_next = jnp.concatenate([params[1:], halo_next(params)[None]])
+        p_prev = jnp.concatenate([halo_prev(params)[None], params[:-1]])
+        g_p = g_p + lam2[:, None] * tmask * (params - p_next)
+        g_p = g_p - lam2_prev[:, None] * tmask * (p_prev - params)
+
+        # shape block: psum across shards
+        c_ww = jax.lax.psum(jnp.sum(h_ww, axis=0), axis)
+        c_ww = c_ww + (bs * bs) * jnp.eye(n_shapes, dtype=dtype)
+        g_w = jax.lax.psum(jnp.sum(g_w_loc, axis=0), axis) + (bs * bs) * w
+
+        # damping
+        dscale = jnp.clip(jnp.diagonal(h_pp_d, axis1=1, axis2=2), 1e-6, 1e32)
+        h_damped = h_pp_d + damping * jax.vmap(jnp.diag)(dscale)
+        c_damped = c_ww + damping * jnp.diag(jnp.clip(jnp.diagonal(c_ww), 1e-6, 1e32))
+
+        # ---- PCG on the full SPD system ----
+        def matvec(v_p, v_w):
+            u = jnp.einsum("fab,fb->fa", h_damped, v_p)
+            v_next = jnp.concatenate([v_p[1:], halo_next(v_p)[None]])
+            v_prev = jnp.concatenate([halo_prev(v_p)[None], v_p[:-1]])
+            u = u - lam2[:, None] * tmask * v_next
+            u = u - lam2_prev[:, None] * tmask * v_prev
+            u = u + jnp.einsum("fps,s->fp", b_pw, v_w)
+            u_w = jax.lax.psum(jnp.einsum("fps,fp->s", b_pw, v_p), axis)
+            u_w = u_w + c_damped @ v_w
+            return u, u_w
+
+        # block-Jacobi preconditioner
+        pre_p = jnp.linalg.inv(h_damped)       # (F_loc, P, P)
+        pre_w = jnp.linalg.inv(c_damped)
+
+        def precond(r_p, r_w):
+            return jnp.einsum("fab,fb->fa", pre_p, r_p), pre_w @ r_w
+
+        def dot(a_p, a_w, b_p, b_w):
+            local = jnp.sum(a_p * b_p)
+            return jax.lax.psum(local, axis) + a_w @ b_w
+
+        b_p_rhs, b_w_rhs = -g_p, -g_w
+        x_p = jnp.zeros_like(g_p)
+        x_w = jnp.zeros_like(g_w)
+        r_p, r_w = b_p_rhs, b_w_rhs
+        z_p, z_w = precond(r_p, r_w)
+        rho = dot(r_p, r_w, z_p, z_w)
+
+        def cg_body(_, carry):
+            x_p, x_w, r_p, r_w, d_p, d_w, rho = carry
+            q_p, q_w = matvec(d_p, d_w)
+            alpha = rho / jnp.maximum(dot(d_p, d_w, q_p, q_w), 1e-30)
+            x_p = x_p + alpha * d_p
+            x_w = x_w + alpha * d_w
+            r_p = r_p - alpha * q_p
+            r_w = r_w - alpha * q_w
+            z_p, z_w = precond(r_p, r_w)
+            rho_new = dot(r_p, r_w, z_p, z_w)
+            beta = rho_new / jnp.maximum(rho, 1e-30)
+            d_p = z_p + beta * d_p
+            d_w = z_w + beta * d_w
+            return x_p, x_w, r_p, r_w, d_p, d_w, rho_new
+
+        carry = (x_p, x_w, r_p, r_w, z_p, z_w, rho)
+        x_p, x_w, r_p, r_w, _, _, _ = jax.lax.fori_loop(
+            0, cg_iters, cg_body, carry)
+
+        res_norm = jnp.sqrt(dot(r_p, r_w, r_p, r_w))
+        return params + x_p, w + x_w, res_norm
+
+    in_specs = (P(axis), P(), P(axis), P(axis), P(axis))
+    out_specs = (P(axis), P(), P())
+    spmd = shard_map(gn_step_spmd, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_vma=False)
+
+    @jax.jit
+    def step(params, w, kp, r0):
+        f_dim = params.shape[0]
+        pair_c = jnp.ones(f_dim, dtype).at[-1].set(0.0)
+        new_p, new_w, res = spmd(params.astype(dtype), w.astype(dtype),
+                                 kp.astype(dtype), r0.astype(dtype), pair_c)
+        return GNStepResult(new_p, new_w, res)
+
+    return step
+
+
+def sharded_gn_step(mesh, spec, cam, cfg, params, w, kp, r0, **kw):
+    """Convenience one-shot wrapper around build_sharded_gn_step."""
+    step = build_sharded_gn_step(mesh, spec, cam, cfg, int(w.shape[0]), **kw)
+    return step(params, w, kp, r0)

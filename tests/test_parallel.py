@@ -1,0 +1,125 @@
+"""Sharding tests on the virtual 8-device CPU mesh: mesh-size invariance
+of the sharded GN step (1 device == 4 devices), cost decrease, and DP
+window fitting equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smpltpu.constants import N_KP_SLOTS, USE_SMPL, init_root_rotation
+from smpltpu.energy import make_skeleton_spec, skeleton_joints_cam
+from smpltpu.energy.params import init_frame_params
+from smpltpu.energy.reproj import project
+from smpltpu.models import SMPLModel
+from smpltpu.parallel import frames_mesh, shard_frames
+from smpltpu.parallel.sharded import build_sharded_gn_step, sharded_window_fit
+from smpltpu.solve.multi_frame import MultiFrameConfig, build_multi_fitter
+from smpltpu.utils import default_intrinsics
+
+
+@pytest.fixture(scope="module")
+def par_rig(small_model_dict):
+    model = SMPLModel.from_dict(small_model_dict, dtype=jnp.float64)
+    cam = default_intrinsics(720, 1280, dtype=jnp.float64)
+    spec = make_skeleton_spec(model, init_root_rotation(), with_shape=True)
+    return model, cam, spec
+
+
+def _kp_batch(rng, f):
+    kp = np.zeros((f, N_KP_SLOTS, 4))
+    kp[:, :, 0] = USE_SMPL
+    kp[:, :, 1:3] = 400 + 120 * rng.normal(size=(f, N_KP_SLOTS, 2))
+    kp[:, :, 3] = 1.0
+    return kp
+
+
+def test_gn_step_mesh_invariance(par_rig, rng):
+    """The sharded GN step must give identical results on 1 vs 4 devices."""
+    model, cam, spec = par_rig
+    f = 8
+    cfg = MultiFrameConfig(beta_pose=2.0, beta_shape=5.0, lambda_temporal=1.5,
+                           max_iters=1)
+    kp = jnp.asarray(_kp_batch(rng, f))
+    params = jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1))
+    r0 = jnp.tile(jnp.asarray(init_root_rotation()), (f, 1, 1))
+    w = jnp.zeros(10, jnp.float64)
+
+    results = {}
+    for n_dev in (1, 4):
+        mesh = frames_mesh(n_dev)
+        step = build_sharded_gn_step(mesh, spec, cam, cfg, 10,
+                                     cg_iters=200, dtype=jnp.float64)
+        res = step(shard_frames(mesh, params), w, shard_frames(mesh, kp),
+                   shard_frames(mesh, r0))
+        results[n_dev] = (np.asarray(res.params), np.asarray(res.shape))
+    np.testing.assert_allclose(results[1][0], results[4][0], atol=1e-6)
+    np.testing.assert_allclose(results[1][1], results[4][1], atol=1e-6)
+
+
+def test_gn_step_reduces_cost(par_rig, rng):
+    """Iterating the sharded GN step must drive the keypoint residual down
+    (keypoints generated from a reachable ground truth)."""
+    model, cam, spec = par_rig
+    f = 8
+    gt = jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1))
+    gt = gt.at[:, 1].add(0.2).at[:, 8].add(0.3)  # rotate root + a joint
+    kp = np.zeros((f, N_KP_SLOTS, 4))
+    for i in range(f):
+        uv = np.asarray(project(
+            skeleton_joints_cam(gt[i], jnp.zeros(10), spec), cam))
+        kp[i, :, 0] = USE_SMPL
+        kp[i, :, 1:3] = uv[USE_SMPL]
+        kp[i, :, 3] = 1.0
+    cfg = MultiFrameConfig(beta_pose=0.5, beta_shape=50.0, lambda_temporal=0.5,
+                           max_iters=1)
+    mesh = frames_mesh(4)
+    step = build_sharded_gn_step(mesh, spec, cam, cfg, 10, cg_iters=100,
+                                 damping=1e-4, dtype=jnp.float64)
+    params = shard_frames(mesh, jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1)))
+    w = jnp.zeros(10, jnp.float64)
+    kp_d = shard_frames(mesh, jnp.asarray(kp))
+    r0 = shard_frames(mesh, jnp.tile(jnp.asarray(init_root_rotation()), (f, 1, 1)))
+
+    def px_err(p):
+        errs = []
+        for i in range(f):
+            uv = np.asarray(project(
+                skeleton_joints_cam(jnp.asarray(p[i]), jnp.zeros(10), spec), cam))
+            errs.append(np.linalg.norm(uv[USE_SMPL] - kp[i, :, 1:3], axis=-1).mean())
+        return float(np.mean(errs))
+
+    e0 = px_err(np.asarray(params))
+    for _ in range(8):
+        res = step(params, w, kp_d, r0)
+        params, w = res.params, res.shape
+    e1 = px_err(np.asarray(params))
+    assert e1 < 0.2 * e0, f"GN steps did not reduce error: {e0} -> {e1}"
+
+
+def test_sharded_window_fit_matches_single(par_rig, rng):
+    model, cam, spec = par_rig
+    n_win, wlen = 4, 3
+    cfg = MultiFrameConfig(beta_pose=2.0, beta_shape=1e5, lambda_temporal=1.0,
+                           max_iters=15)
+    fitter = build_multi_fitter(spec, cam, cfg, 10, dtype=jnp.float64)
+    kp = np.stack([_kp_batch(rng, wlen) for _ in range(n_win)])
+    p0 = jnp.tile(init_frame_params(dtype=jnp.float64), (n_win, wlen, 1))
+    w0 = jnp.zeros((n_win, 10), jnp.float64)
+    r0 = jnp.tile(jnp.asarray(init_root_rotation()), (n_win, wlen, 1, 1))
+    valid = jnp.ones((n_win, wlen), jnp.float64)
+
+    mesh = frames_mesh(4, axis="windows")
+    st = sharded_window_fit(mesh, fitter, p0, w0, jnp.asarray(kp), r0, valid,
+                            axis="windows")
+    ref = fitter(p0[2], w0[2], jnp.asarray(kp)[2], r0[2], valid[2])
+    np.testing.assert_allclose(np.asarray(st.params[2]),
+                               np.asarray(ref.params), atol=1e-9)
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = fn(*args)
+    assert out[0].shape[-2:] == (24, 3)
+    g.dryrun_multichip(8)
