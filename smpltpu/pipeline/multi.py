@@ -273,6 +273,10 @@ def main(argv=None) -> int:
 
     save_params(opts["out_dir"], "params_multi.npz", poses, shape_w,
                 extra={"r0_fit": r0_fit})
+    with open(os.path.join(opts["out_dir"], "loss_curve.txt"), "w") as f:
+        f.write("iteration,loss\n")
+        for it, c in enumerate(np.asarray(st1.cost_history)):
+            f.write(f"{it},{c}\n")
     print(f"[INFO] rendering finished, saved to  {opts['out_dir']}")
     print("done.")
     return 0

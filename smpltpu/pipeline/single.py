@@ -171,6 +171,13 @@ def main(argv=None) -> int:
     save_params(opts["out_dir"], "params_single.npz", params, shapes,
                 extra={"converged": np.asarray(state.converged),
                        "cost": np.asarray(state.cost)})
+    # per-iteration loss curve (mean over valid frames) — the file
+    # scripts/loss_curve_plot.py expects but the reference never writes
+    hist = np.asarray(state.cost_history)[valid_frames].mean(axis=0)
+    with open(os.path.join(opts["out_dir"], "loss_curve.txt"), "w") as f:
+        f.write("iteration,loss\n")
+        for it, c in enumerate(hist):
+            f.write(f"{it},{c}\n")
     print("Done.")
     return 0
 

@@ -60,6 +60,22 @@ class LMState(NamedTuple):
     iters_run: jnp.ndarray   # () int32
 
 
+class LMResult(NamedTuple):
+    """LMState plus the per-iteration cost trace (the reference's Ceres
+    minimizer_progress/loss-curve machinery, Sim3BA.h:477 +
+    scripts/loss_curve_plot.py which reads a loss_curve.txt nothing in the
+    reference ever writes — we write it)."""
+
+    x: jnp.ndarray
+    radius: jnp.ndarray
+    decrease_factor: jnp.ndarray
+    cost: jnp.ndarray
+    converged: jnp.ndarray
+    n_accepted: jnp.ndarray
+    iters_run: jnp.ndarray
+    cost_history: jnp.ndarray  # (max_iters,) cost after each iteration
+
+
 def _huber_rho(s: jnp.ndarray, delta: float) -> jnp.ndarray:
     """Huber rho(s) on squared block norms s."""
     sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-24))
@@ -176,7 +192,7 @@ def lm_solve(
             n_accepted=state.n_accepted + do_move.astype(jnp.int32),
             iters_run=state.iters_run + (1 - state.converged.astype(jnp.int32)),
         )
-        return new_state, None
+        return new_state, new_state.cost
 
     x0 = clamp(x0)
     init = LMState(
@@ -188,5 +204,5 @@ def lm_solve(
         n_accepted=jnp.asarray(0, jnp.int32),
         iters_run=jnp.asarray(0, jnp.int32),
     )
-    final, _ = jax.lax.scan(step, init, None, length=cfg.max_iters)
-    return final
+    final, costs = jax.lax.scan(step, init, None, length=cfg.max_iters)
+    return LMResult(*final, cost_history=costs)

@@ -71,6 +71,21 @@ class MultiFrameState(NamedTuple):
     iters_run: jnp.ndarray
 
 
+class MultiFrameResult(NamedTuple):
+    """MultiFrameState plus the per-iteration cost trace (loss-curve sink,
+    see LMResult)."""
+
+    params: jnp.ndarray
+    shape: jnp.ndarray
+    radius: jnp.ndarray
+    decrease_factor: jnp.ndarray
+    cost: jnp.ndarray
+    converged: jnp.ndarray
+    n_accepted: jnp.ndarray
+    iters_run: jnp.ndarray
+    cost_history: jnp.ndarray  # (max_iters,)
+
+
 def _pose_prior_sel(n_joints: int, dtype) -> jnp.ndarray:
     """(P,) selector of the joint-angle dims (the L2 pose prior acts there)."""
     lay = frame_param_layout(n_joints)
@@ -216,7 +231,7 @@ def build_multi_fitter(
             n_accepted=state.n_accepted + do_move.astype(jnp.int32),
             iters_run=state.iters_run + (1 - state.converged.astype(jnp.int32)),
         )
-        return new_state, None
+        return new_state, new_state.cost
 
     def fit(params0, shape0, kp, r0, frame_valid=None):
         f_dim = params0.shape[0]
@@ -233,10 +248,10 @@ def build_multi_fitter(
             n_accepted=jnp.asarray(0, jnp.int32),
             iters_run=jnp.asarray(0, jnp.int32),
         )
-        final, _ = jax.lax.scan(
+        final, costs = jax.lax.scan(
             lambda s, _: step(s, (kp, r0, pair_w)), init, None,
             length=cfg.max_iters)
-        return final
+        return MultiFrameResult(*final, cost_history=costs)
 
     return jax.jit(fit)
 

@@ -92,6 +92,10 @@ def test_single_cli_end_to_end(tmp_path, rng):
     assert not os.path.isfile(os.path.join(out_dir, "frame_2_render.png"))
     saved = np.load(os.path.join(out_dir, "params_single.npz"))
     assert saved["params"].shape == (N_FRAMES, 76)
+    lc = open(os.path.join(out_dir, "loss_curve.txt")).read().splitlines()
+    assert lc[0] == "iteration,loss" and len(lc) == 31
+    losses = [float(r.split(",")[1]) for r in lc[1:]]
+    assert losses[-1] < losses[0]
     # log.csv appends on rerun with a single header (reference parity)
     rc = single_cli.main([model_path, kp_dir, img_dir, out_dir, "5", "1.0", "0.0"])
     assert rc == 0
