@@ -151,12 +151,28 @@ def load_keypoint_dir(
     width: int,
     height: int,
     midpoint_default_vis: float = 1.0,
+    backend: str = "auto",
 ) -> Tuple[np.ndarray, List[str]]:
     """Load every .json in `directory` (sorted) into one (F, N_KP_SLOTS, 4)
     dense batch. Frames with no detection get an all-invalid row block,
     keeping batch shapes static (graceful-skip parity: the reference skips
-    empty frames at src/main_single_frame.cpp:200-203; we mask them)."""
+    empty frames at src/main_single_frame.cpp:200-203; we mask them).
+
+    backend: 'auto' uses the C++ parallel parser (smpltpu.native) when the
+    toolchain is available and falls back to Python; 'python' / 'native'
+    force one (tests assert both produce identical batches).
+    """
     paths = list_sorted(directory, [".json"])
+    if backend != "python":
+        try:
+            from smpltpu import native
+            if native.available():
+                batch = native.load_keypoint_dir_native(
+                    paths, width, height, midpoint_default_vis)
+                return batch, paths
+        except Exception:
+            if backend == "native":
+                raise
     frames = [
         keypoints_to_dense(load_mp_json(p, width, height, midpoint_default_vis))
         for p in paths

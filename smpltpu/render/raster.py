@@ -104,13 +104,24 @@ def render_mesh_overlay(
     gray = np.round(220.0 * shade).astype(np.int32)
     if fill:
         if _HAS_CV2:
+            # cv2 path kept as the parity default (LINE_AA antialiasing
+            # matches the reference byte-for-byte)
             pts = np.round(tris).astype(np.int32)
             for p, c in zip(pts, gray):
                 cv2.fillConvexPoly(img, p, (int(c), int(c), int(c)),
                                    cv2.LINE_AA)
         else:
-            _fill_triangles_numpy(
-                img, tris, np.stack([gray] * 3, axis=-1).astype(np.uint8))
+            filled = False
+            try:
+                from smpltpu import native
+                if native.available():
+                    native.fill_triangles(img, tris, gray)
+                    filled = True
+            except Exception:
+                pass
+            if not filled:
+                _fill_triangles_numpy(
+                    img, tris, np.stack([gray] * 3, axis=-1).astype(np.uint8))
     if wireframe:
         pts = np.round(tris).astype(np.int32)
         if _HAS_CV2:
