@@ -53,6 +53,7 @@ from smpltpu.pipeline.common import (
     save_params,
 )
 from smpltpu.solve import MultiFrameConfig, build_multi_fitter
+from smpltpu.utils.obs import MetricsLogger, profile_trace
 
 USAGE = """usage: python -m smpltpu.pipeline.multi <SMPL.npz> <kps_folder> <image_folder> <out_dir>
              [max_iters=120] [max_iters_stage2=120] [anchor_skip=15] [window=30] [overlap=10]
@@ -73,6 +74,7 @@ def parse_args(argv):
         "wsize": 20, "overlap": 5, "beta_pose": 5.0, "beta_shape": 25.0,
         "lambda_t": 3.0, "s2_iters": S2_ITERS_DEFAULT,
         "batched_windows": False, "pose_prior": None,
+        "resume": False, "profile": False, "metrics_jsonl": None,
     }
     positional = ["max_iters_s1", "max_iters_s2", "skip", "wsize", "overlap",
                   "beta_pose", "beta_shape", "lambda_t"]
@@ -83,6 +85,12 @@ def parse_args(argv):
         a = rest.pop(0)
         if a == "--batched-windows":
             opts["batched_windows"] = True
+        elif a == "--resume":
+            opts["resume"] = True
+        elif a == "--profile":
+            opts["profile"] = True
+        elif a == "--metrics-jsonl" and rest:
+            opts["metrics_jsonl"] = rest.pop(0)
         elif a == "--s2-iters" and rest:
             opts["s2_iters"] = max(1, int(float(rest.pop(0))))
         elif a == "--pose-prior" and rest:
@@ -138,38 +146,73 @@ def main(argv=None) -> int:
                  (n_frames, 1, 1))
     shape_w = np.zeros(model.num_shapes, dtype=np.float32)
 
+    # observability (SURVEY.md section 5: metrics/tracing rows)
+    metrics = MetricsLogger(jsonl_path=opts["metrics_jsonl"])
+    profile_dir = os.path.join(opts["out_dir"], "profile") if opts["profile"] else None
+
+    # checkpoint/resume (framework extension; the reference's 'resume' is
+    # accidental log-append only, SURVEY.md section 5 checkpoint row)
+    ckpt_path = os.path.join(opts["out_dir"], "checkpoint_multi.npz")
+    ck = None
+    if opts["resume"] and os.path.isfile(ckpt_path):
+        ck = dict(np.load(ckpt_path))
+        print(f"[INFO] resuming from {ckpt_path} "
+              f"(next window start {int(ck['next_start'])})")
+
+    rendered = np.zeros(n_frames, dtype=bool)
+    # r0 accumulates write-backs; r0_fit[i] is the R0 in effect when
+    # poses[i] was last fitted — rendering/eval must pair poses[i] with
+    # r0_fit[i] (pairing with the updated r0 would apply rootAA twice)
+    r0_fit = r0.copy()
+    resume_start = 0
+
+    loss_curve = None
+
     # ===================== stage 1: anchors =====================
-    anchor_idx = list(range(0, n_frames, opts["skip"]))
-    print(f"[INFO] stage-1  anchor frames = {len(anchor_idx)}")
-    cfg1 = MultiFrameConfig(beta_pose=opts["beta_pose"],
-                            beta_shape=opts["beta_shape"],
-                            lambda_temporal=opts["lambda_t"],
-                            max_iters=opts["max_iters_s1"])
-    fit1 = build_multi_fitter(spec, cam, cfg1, model.num_shapes, dtype=dtype)
-    a_p, a_w = jnp.asarray(poses[anchor_idx]), jnp.asarray(shape_w)
-    a_k, a_r = jnp.asarray(kp[anchor_idx]), jnp.asarray(r0[anchor_idx])
-    fit1(a_p, a_w, a_k, a_r).params.block_until_ready()  # compile warm-up
-    t1 = StageTimer()
-    st1 = fit1(a_p, a_w, a_k, a_r)
-    st1.params.block_until_ready()
-    ms_anchor = t1.ms()
-    print(f"[INFO] stage-1 done  ({'success' if bool(jnp.isfinite(st1.cost)) else 'fail'})"
-          f"  in {ms_anchor} ms\n"
-          f"accepted steps: {int(st1.n_accepted)}, final cost: {float(st1.cost):.3f}")
+    if ck is not None:
+        poses = ck["poses"]
+        r0 = ck["r0"]
+        r0_fit = ck["r0_fit"]
+        shape_w = ck["shape_w"]
+        rendered = ck["rendered"].astype(bool)
+        resume_start = int(ck["next_start"])
+    else:
+        anchor_idx = list(range(0, n_frames, opts["skip"]))
+        print(f"[INFO] stage-1  anchor frames = {len(anchor_idx)}")
+        cfg1 = MultiFrameConfig(beta_pose=opts["beta_pose"],
+                                beta_shape=opts["beta_shape"],
+                                lambda_temporal=opts["lambda_t"],
+                                max_iters=opts["max_iters_s1"])
+        fit1 = build_multi_fitter(spec, cam, cfg1, model.num_shapes, dtype=dtype)
+        a_p, a_w = jnp.asarray(poses[anchor_idx]), jnp.asarray(shape_w)
+        a_k, a_r = jnp.asarray(kp[anchor_idx]), jnp.asarray(r0[anchor_idx])
+        fit1(a_p, a_w, a_k, a_r).params.block_until_ready()  # compile warm-up
+        t1 = StageTimer()
+        with profile_trace(profile_dir):
+            st1 = fit1(a_p, a_w, a_k, a_r)
+            st1.params.block_until_ready()
+        ms_anchor = t1.ms()
+        print(f"[INFO] stage-1 done  ({'success' if bool(jnp.isfinite(st1.cost)) else 'fail'})"
+              f"  in {ms_anchor} ms\n"
+              f"accepted steps: {int(st1.n_accepted)}, final cost: {float(st1.cost):.3f}")
+        metrics.log("stage1", ms=ms_anchor, cost=float(st1.cost),
+                    accepted=int(st1.n_accepted), anchors=len(anchor_idx))
 
-    anchor_params = np.asarray(st1.params)
-    shape_w = np.asarray(st1.shape)
-    anchor_errs, _ = batched_frame_eval(
-        model, anchor_params, np.tile(shape_w, (len(anchor_idx), 1)),
-        r0[anchor_idx], kp[anchor_idx], cam, want_verts=False)
-    append_log(opts["out_dir"],
-               [(fid, float(anchor_errs[k]), ms_anchor / len(anchor_idx))
-                for k, fid in enumerate(anchor_idx)])
+        anchor_params = np.asarray(st1.params)
+        shape_w = np.asarray(st1.shape)
+        loss_curve = np.asarray(st1.cost_history)
+        anchor_errs, _ = batched_frame_eval(
+            model, anchor_params, np.tile(shape_w, (len(anchor_idx), 1)),
+            r0[anchor_idx], kp[anchor_idx], cam, want_verts=False)
+        append_log(opts["out_dir"],
+                   [(fid, float(anchor_errs[k]), ms_anchor / len(anchor_idx))
+                    for k, fid in enumerate(anchor_idx)])
 
-    # write-back effects (and ONLY these — anchor poses deliberately not
-    # copied into `poses`, reproducing the reference quirk):
-    for k, fid in enumerate(anchor_idx):
-        r0[fid] = np_rodrigues(anchor_params[k, 1:4]) @ r0[fid]
+        # write-back effects (and ONLY these — anchor poses deliberately not
+        # copied into `poses`, reproducing the reference quirk):
+        for k, fid in enumerate(anchor_idx):
+            r0[fid] = np_rodrigues(anchor_params[k, 1:4]) @ r0[fid]
+        r0_fit = r0.copy()
 
     # ===================== stage 2: sliding windows =====================
     stride = opts["wsize"] - opts["overlap"]
@@ -182,12 +225,6 @@ def main(argv=None) -> int:
                             lambda_temporal=opts["lambda_t"],
                             max_iters=opts["s2_iters"])
     fit2 = build_multi_fitter(spec, cam, cfg2, model.num_shapes, dtype=dtype)
-
-    rendered = np.zeros(n_frames, dtype=bool)
-    # r0 accumulates write-backs; r0_fit[i] is the R0 in effect when
-    # poses[i] was last fitted — rendering/eval must pair poses[i] with
-    # r0_fit[i] (pairing with the updated r0 would apply rootAA twice)
-    r0_fit = r0.copy()
     wsize = opts["wsize"]
 
     def window_inputs(s):
@@ -200,8 +237,9 @@ def main(argv=None) -> int:
                 jnp.asarray(_pad_window(r0, s, e, wsize)),
                 jnp.asarray(valid))
 
-    # per-frame fitted vertex cache so tail rendering needs no re-forward
-    verts_cache = np.zeros((n_frames, model.num_verts, 3), np.float32)
+    def save_ckpt(next_start):
+        np.savez(ckpt_path, poses=poses, r0=r0, r0_fit=r0_fit,
+                 shape_w=shape_w, rendered=rendered, next_start=next_start)
 
     def finish_window(s, e, fitted, ms_win, r0_solve):
         """Write-back + logging + render for one solved window.
@@ -213,10 +251,11 @@ def main(argv=None) -> int:
             r0_solve[:n_w], kp[s:e], cam)
         append_log(opts["out_dir"],
                    [(i, float(errs[i - s]), ms_win / n_w) for i in range(s, e)])
+        metrics.log("window", start=s, end=e, ms=ms_win,
+                    mean_px=float(np.mean(errs)))
         # write-back: poses keep the optimized values; r0 absorbs rootAA
         poses[s:e] = fitted[:n_w]
         r0_fit[s:e] = r0_solve[:n_w]
-        verts_cache[s:e] = verts[:n_w]
         for i in range(s, e):
             r0[i] = np_rodrigues(fitted[i - s, 1:4]) @ r0_solve[i - s]
         # render frames no later window touches
@@ -225,10 +264,13 @@ def main(argv=None) -> int:
             if rendered[i] or i >= len(ds["images"]):
                 continue
             render_overlay_image(
-                model, verts_cache[i], ds["images"][i],
+                model, verts[i - s], ds["images"][i],
                 os.path.join(opts["out_dir"], f"frame_{i}_multi.png"), cam)
             rendered[i] = True
+        save_ckpt(next_start=s + stride)
 
+    if resume_start > 0:
+        starts = [s for s in starts if s >= resume_start]
     if opts["batched_windows"]:
         packs = [window_inputs(s) for s in starts]
         bp = jnp.stack([p[1] for p in packs])
@@ -237,9 +279,10 @@ def main(argv=None) -> int:
         bv = jnp.stack([p[4] for p in packs])
         bw = jnp.tile(jnp.asarray(shape_w), (len(starts), 1))
         t2 = StageTimer()
-        st2 = jax.jit(jax.vmap(lambda a, b, c, d, e: fit2(a, b, c, d, e)))(
-            bp, bw, bk, br, bv)
-        st2.params.block_until_ready()
+        with profile_trace(profile_dir):
+            st2 = jax.jit(jax.vmap(lambda a, b, c, d, e: fit2(a, b, c, d, e)))(
+                bp, bw, bk, br, bv)
+            st2.params.block_until_ready()
         ms_total = t2.ms()
         for wi, s in enumerate(starts):
             e = packs[wi][0]
@@ -247,36 +290,44 @@ def main(argv=None) -> int:
                           ms_total / len(starts), np.asarray(packs[wi][3]))
     else:
         first = True
-        for s in starts:
-            e, wp, wk, wr, wv = window_inputs(s)
-            if first:  # compile warm-up so the first window's time is real
-                fit2(wp, jnp.asarray(shape_w), wk, wr, wv).params.block_until_ready()
-                first = False
-            print(f"[INFO] window [{s},{e})  solving ...", flush=True)
-            t2 = StageTimer()
-            st2 = fit2(wp, jnp.asarray(shape_w), wk, wr, wv)
-            st2.params.block_until_ready()
-            ms_win = t2.ms()
-            ok = bool(jnp.isfinite(st2.cost))
-            print(f"  -> {'OK' if ok else 'FAIL'}  ({ms_win} ms)")
-            shape_w = np.asarray(st2.shape)  # moves ~0 under the lock
-            finish_window(s, e, np.asarray(st2.params), ms_win, np.asarray(wr))
+        with profile_trace(profile_dir):
+            for s in starts:
+                e, wp, wk, wr, wv = window_inputs(s)
+                if first:  # compile warm-up so the first window's time is real
+                    fit2(wp, jnp.asarray(shape_w), wk, wr, wv).params.block_until_ready()
+                    first = False
+                print(f"[INFO] window [{s},{e})  solving ...", flush=True)
+                t2 = StageTimer()
+                st2 = fit2(wp, jnp.asarray(shape_w), wk, wr, wv)
+                st2.params.block_until_ready()
+                ms_win = t2.ms()
+                ok = bool(jnp.isfinite(st2.cost))
+                print(f"  -> {'OK' if ok else 'FAIL'}  ({ms_win} ms)")
+                shape_w = np.asarray(st2.shape)  # moves ~0 under the lock
+                finish_window(s, e, np.asarray(st2.params), ms_win, np.asarray(wr))
 
-    # tail frames (last OVERLAP ones)
-    for i in range(n_frames):
-        if rendered[i] or i >= len(ds["images"]):
-            continue
-        render_overlay_image(
-            model, verts_cache[i], ds["images"][i],
-            os.path.join(opts["out_dir"], f"frame_{i}_multi.png"), cam)
-        rendered[i] = True
+    # tail frames (last OVERLAP ones) — recompute their verts in one batch
+    tail = [i for i in range(n_frames)
+            if not rendered[i] and i < len(ds["images"])]
+    if tail:
+        _, tail_verts = batched_frame_eval(
+            model, poses[tail], np.tile(shape_w, (len(tail), 1)),
+            r0_fit[tail], kp[tail], cam)
+        for k, i in enumerate(tail):
+            render_overlay_image(
+                model, tail_verts[k], ds["images"][i],
+                os.path.join(opts["out_dir"], f"frame_{i}_multi.png"), cam)
+            rendered[i] = True
+    save_ckpt(next_start=n_frames)
 
     save_params(opts["out_dir"], "params_multi.npz", poses, shape_w,
                 extra={"r0_fit": r0_fit})
-    with open(os.path.join(opts["out_dir"], "loss_curve.txt"), "w") as f:
-        f.write("iteration,loss\n")
-        for it, c in enumerate(np.asarray(st1.cost_history)):
-            f.write(f"{it},{c}\n")
+    if loss_curve is not None:
+        with open(os.path.join(opts["out_dir"], "loss_curve.txt"), "w") as f:
+            f.write("iteration,loss\n")
+            for it, c in enumerate(loss_curve):
+                f.write(f"{it},{c}\n")
+    metrics.close()
     print(f"[INFO] rendering finished, saved to  {opts['out_dir']}")
     print("done.")
     return 0

@@ -65,11 +65,11 @@ def _make_dataset(tmp_path, rng, empty_frames=(2,), with_prior=False):
         for sid in range(24):
             mp = int(MP_MAP[sid])
             if mp >= 0:
-                lms[mp] = {"x": uv[sid, 0] / W, "y": uv[sid, 1] / H,
+                lms[mp] = {"x": float(uv[sid, 0]) / W, "y": float(uv[sid, 1]) / H,
                            "z": 0.0, "visibility": 0.95}
         # hips 23/24 around pelvis (joint 0), shoulders 11/12 already set
         for mp_id, jid in ((23, 1), (24, 2)):
-            lms[mp_id] = {"x": uv[jid, 0] / W, "y": uv[jid, 1] / H,
+            lms[mp_id] = {"x": float(uv[jid, 0]) / W, "y": float(uv[jid, 1]) / H,
                           "z": 0.0, "visibility": 0.95}
         (kp_dir / f"frame_{f:04d}.json").write_text(json.dumps(lms))
     return model_path, str(kp_dir), str(img_dir)
