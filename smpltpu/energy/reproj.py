@@ -33,7 +33,7 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from smpltpu.models.smpl import SMPLModel, rodrigues
+from smpltpu.models.smpl import SMPLModel, rodrigues, tree_levels
 
 
 class Camera(NamedTuple):
@@ -50,6 +50,8 @@ class SkeletonSpec(NamedTuple):
     base_offsets: jnp.ndarray      # (nJ, 3) zero-shape parent-relative offsets
     r0: jnp.ndarray                # (3, 3) fixed initial root orientation
     joint_shape_reg: Optional[jnp.ndarray]  # (nJ, 3, nS) or None
+
+
 
 
 def make_skeleton_spec(model: SMPLModel, r0, with_shape: bool) -> SkeletonSpec:
@@ -101,10 +103,14 @@ def skeleton_joints_cam(
 
     # local rotations for non-root joints; root slot unused (identity)
     rot = rodrigues(fp.joint_aa)  # (nJ-1, 3, 3)
-    eye = jnp.eye(3, dtype=rot.dtype)
+    eye = jnp.eye(3, dtype=offsets.dtype)
 
     # FK with the root pinned at the origin and G_root = I (the chain walk
     # excludes the root's rotation and position, Sim3BA.h:56-67).
+    # Unrolled per-joint chain: measured FASTER on TPU than a
+    # level-synchronous gather/scatter formulation (23 ms vs 53 ms per LM
+    # iteration on the 67x20-window workload — XLA fuses the tiny chain
+    # ops; batched gathers/scatters do not fuse).
     g = [eye]
     x = [jnp.zeros(3, dtype=offsets.dtype)]
     for j in range(1, n_j):

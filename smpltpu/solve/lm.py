@@ -127,17 +127,25 @@ def lm_solve(
         s = jnp.sum(rb * rb, axis=-1)
         return 0.5 * (jnp.sum(_huber_rho(s, cfg.huber_delta)) + jnp.sum(rp * rp))
 
+    # residual structure is shape-static: probe it once at trace time
+    rb_probe, rp_probe = jax.eval_shape(residual_fn, x0)
+    n_blocks, block_rows = rb_probe.shape
+    n_rb_rows = n_blocks * block_rows
+
     def weighted_r_and_jac(x):
-        rb, rp = residual_fn(x)
-        n_blocks, r_rows = rb.shape
+        # one linearize, Jacobian via batched JVP pushes (a single residual
+        # trace instead of value + jacfwd)
+        flat, f_jvp = jax.linearize(flat_residual, x)
+        jac = jax.vmap(f_jvp)(jnp.eye(p_dim, dtype=x.dtype)).T  # (B*R+M, P)
+        rb = flat[:n_rb_rows].reshape(n_blocks, block_rows)
+        rp = flat[n_rb_rows:]
         s = jnp.sum(rb * rb, axis=-1)
         sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-24))
         w = jnp.sqrt(jnp.minimum(1.0, cfg.huber_delta / sqrt_s))
         w = jax.lax.stop_gradient(w)
-        jac = jax.jacfwd(flat_residual)(x)  # (B*R + M, P)
         row_w = jnp.concatenate(
-            [jnp.repeat(w, r_rows), jnp.ones_like(rp)])
-        r = jnp.concatenate([rb.reshape(-1), rp]) * row_w
+            [jnp.repeat(w, block_rows), jnp.ones_like(rp)])
+        r = flat * row_w
         jac = jac * row_w[:, None]
         return r, jac
 

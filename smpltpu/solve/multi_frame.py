@@ -135,10 +135,20 @@ def build_multi_fitter(
         """Assemble gradient and Hessian pieces of the weighted problem."""
         f_dim = params.shape[0]
 
+        n_s = w.shape[0]
+        p_dim_l = params.shape[-1]
+        eye_p = jnp.eye(p_dim_l, dtype=params.dtype)
+        eye_w = jnp.eye(n_s, dtype=params.dtype)
+        zer_p = jnp.zeros((n_s, p_dim_l), dtype=params.dtype)
+        zer_w = jnp.zeros((p_dim_l, n_s), dtype=params.dtype)
+
         def one_frame(p_f, kp_f, r0_f):
-            r = kp_res(p_f, w, kp_f, r0_f)                       # (2K,)
-            jp = jax.jacfwd(lambda q: kp_res(q, w, kp_f, r0_f))(p_f)
-            jw = jax.jacfwd(lambda v: kp_res(p_f, v, kp_f, r0_f))(w)
+            # one linearize, then both Jacobians via batched JVP pushes —
+            # a single FK trace instead of three (value + two jacfwds)
+            r, f_jvp = jax.linearize(
+                lambda q, v: kp_res(q, v, kp_f, r0_f), p_f, w)
+            jp = jax.vmap(f_jvp)(eye_p, zer_w).T                 # (2K, P)
+            jw = jax.vmap(f_jvp)(zer_p, eye_w).T                 # (2K, nS)
             blocks = r.reshape(-1, 2)
             s = jnp.sum(blocks * blocks, axis=-1)
             irls = jnp.sqrt(jnp.minimum(1.0, cfg.huber_delta /

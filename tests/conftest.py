@@ -20,6 +20,10 @@ jax.config.update("jax_platforms", "cpu")
 # Make float64 available for oracle comparisons; library code is explicit
 # about dtypes, defaulting to float32 on the TPU path.
 jax.config.update("jax_enable_x64", True)
+# the suite is XLA-compile-bound; persist compilations across runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
