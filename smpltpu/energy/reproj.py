@@ -133,8 +133,14 @@ def skeleton_joints_cam(
 
 
 def project(points: jnp.ndarray, cam: Camera) -> jnp.ndarray:
-    """Pinhole projection (..., 3) -> (..., 2) pixels (Sim3BA.h:83-86)."""
+    """Pinhole projection (..., 3) -> (..., 2) pixels (Sim3BA.h:83-86).
+
+    z is guarded away from 0 so degenerate points (e.g. zero-padded window
+    frames) produce large-but-finite values instead of inf/NaN — a NaN here
+    would poison the masked residual rows (NaN * 0 = NaN) and silently fail
+    the whole window's solve."""
     z = points[..., 2]
+    z = jnp.where(jnp.abs(z) < 1e-8, jnp.where(z < 0, -1e-8, 1e-8), z)
     u = cam.fx * points[..., 0] / z + cam.cx
     v = cam.fy * points[..., 1] / z + cam.cy
     return jnp.stack([u, v], axis=-1)

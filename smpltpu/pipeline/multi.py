@@ -75,6 +75,7 @@ def parse_args(argv):
         "lambda_t": 3.0, "s2_iters": S2_ITERS_DEFAULT,
         "batched_windows": False, "pose_prior": None,
         "resume": False, "profile": False, "metrics_jsonl": None,
+        "init_from_anchors": False,
     }
     positional = ["max_iters_s1", "max_iters_s2", "skip", "wsize", "overlap",
                   "beta_pose", "beta_shape", "lambda_t"]
@@ -87,6 +88,8 @@ def parse_args(argv):
             opts["batched_windows"] = True
         elif a == "--resume":
             opts["resume"] = True
+        elif a == "--init-from-anchors":
+            opts["init_from_anchors"] = True
         elif a == "--profile":
             opts["profile"] = True
         elif a == "--metrics-jsonl" and rest:
@@ -208,10 +211,27 @@ def main(argv=None) -> int:
                    [(fid, float(anchor_errs[k]), ms_anchor / len(anchor_idx))
                     for k, fid in enumerate(anchor_idx)])
 
-        # write-back effects (and ONLY these — anchor poses deliberately not
-        # copied into `poses`, reproducing the reference quirk):
-        for k, fid in enumerate(anchor_idx):
-            r0[fid] = np_rodrigues(anchor_params[k, 1:4]) @ r0[fid]
+        if opts["init_from_anchors"]:
+            # framework extension (NOT reference behavior): seed stage-2
+            # windows from the stage-1 anchor poses, linearly interpolated
+            # between consecutive anchors — windows start near the solution
+            # instead of the cold default init, so the hard-coded 60
+            # stage-2 iterations converge much further. R0 is left
+            # untouched so the interpolated rootAA stays consistent.
+            n_a = len(anchor_idx)
+            for k, fid in enumerate(anchor_idx):
+                a = fid
+                b = anchor_idx[k + 1] if k + 1 < n_a else n_frames
+                pb = anchor_params[k + 1] if k + 1 < n_a else anchor_params[k]
+                poses[a] = anchor_params[k]
+                for i in range(a + 1, min(b, n_frames)):
+                    t = (i - a) / max(b - a, 1)
+                    poses[i] = (1.0 - t) * anchor_params[k] + t * pb
+        else:
+            # write-back effects (and ONLY these — anchor poses deliberately
+            # not copied into `poses`, reproducing the reference quirk):
+            for k, fid in enumerate(anchor_idx):
+                r0[fid] = np_rodrigues(anchor_params[k, 1:4]) @ r0[fid]
         r0_fit = r0.copy()
 
     # ===================== stage 2: sliding windows =====================
@@ -227,14 +247,22 @@ def main(argv=None) -> int:
     fit2 = build_multi_fitter(spec, cam, cfg2, model.num_shapes, dtype=dtype)
     wsize = opts["wsize"]
 
+    default_pose = np.asarray(init_frame_params(dtype=dtype))
+    eye3 = np.eye(3, dtype=np.float32)
+
     def window_inputs(s):
         e = min(s + wsize, n_frames)
         valid = np.zeros(wsize, np.float32)
         valid[:e - s] = 1.0
-        return (e,
-                jnp.asarray(_pad_window(poses, s, e, wsize)),
+        # pad with the DEFAULT pose (scale 1, z 3), not zeros: a zero pose
+        # puts padded joints at z=0 whose residuals would blow up the cost
+        wp = np.tile(default_pose, (wsize, 1))
+        wp[:e - s] = poses[s:e]
+        wr = np.tile(eye3, (wsize, 1, 1))
+        wr[:e - s] = r0[s:e]
+        return (e, jnp.asarray(wp),
                 jnp.asarray(_pad_window(kp, s, e, wsize)),
-                jnp.asarray(_pad_window(r0, s, e, wsize)),
+                jnp.asarray(wr),
                 jnp.asarray(valid))
 
     def save_ckpt(next_start):

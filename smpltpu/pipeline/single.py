@@ -159,14 +159,18 @@ def main(argv=None) -> int:
     rows = []
     valid_frames = kp[:, :, 3].sum(axis=1) > 0
     for i in range(n_frames):
+        if i >= len(ds["images"]):
+            # reference stops the whole loop at the first missing image
+            # (src/main_single_frame.cpp:194 'break')
+            print(f"No image for frame {i}", file=sys.stderr)
+            break
         if not valid_frames[i]:
             print(f"Frame {i} has no valid keypoints; skipping.", file=sys.stderr)
             continue
         rows.append((i, float(errors[i]), per_frame_ms))
-        if i < len(ds["images"]):
-            render_overlay_image(
-                model, verts[i], ds["images"][i],
-                os.path.join(opts["out_dir"], f"frame_{i}_render.png"), cam)
+        render_overlay_image(
+            model, verts[i], ds["images"][i],
+            os.path.join(opts["out_dir"], f"frame_{i}_render.png"), cam)
     append_log(opts["out_dir"], rows)
     save_params(opts["out_dir"], "params_single.npz", params, shapes,
                 extra={"converged": np.asarray(state.converged),
