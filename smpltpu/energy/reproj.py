@@ -33,7 +33,7 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from smpltpu.models.smpl import SMPLModel, rodrigues, tree_levels
+from smpltpu.models.smpl import SMPLModel, rodrigues
 
 
 class Camera(NamedTuple):

@@ -11,7 +11,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from smpltpu.constants import init_root_rotation
 from smpltpu.energy.reproj import Camera
 from smpltpu.io import load_keypoint_dir, load_pose_prior_txt, load_smpl_npz
 from smpltpu.io.keypoints import list_sorted
@@ -116,16 +115,25 @@ def batched_frame_eval(model: SMPLModel, params, shapes, r0, kp, cam: Camera,
 
 
 def render_overlay_image(model: SMPLModel, verts_cam: np.ndarray,
-                         image_path: str, out_path: str, cam: Camera) -> bool:
-    """Host-side overlay render from precomputed camera-space vertices
-    (reference: renderSMPLMesh + imwrite, src/main_single_frame.cpp:273-277)."""
+                         image_path: str, out_path: str, cam: Camera,
+                         use_jax: bool = False) -> bool:
+    """Overlay render from precomputed camera-space vertices (reference:
+    renderSMPLMesh + imwrite, src/main_single_frame.cpp:273-277).
+    use_jax switches to the on-device z-buffer rasterizer
+    (render/jax_raster.py) instead of the host painter renderer."""
     img = imread(image_path)
     if img is None:
         return False
-    render_mesh_overlay(
-        verts_cam, model.faces, img,
-        float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
-        fill=True, backface_cull=True, wireframe=False)
+    if use_jax:
+        from smpltpu.render.jax_raster import render_overlay_jax
+        img = render_overlay_jax(
+            verts_cam, model.faces, img,
+            float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
+    else:
+        render_mesh_overlay(
+            verts_cam, model.faces, img,
+            float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+            fill=True, backface_cull=True, wireframe=False)
     return imwrite(out_path, img)
 
 

@@ -42,7 +42,7 @@ import numpy as np
 
 from smpltpu.constants import init_root_rotation
 from smpltpu.energy import make_skeleton_spec
-from smpltpu.energy.params import N_FRAME_PARAMS, init_frame_params
+from smpltpu.energy.params import init_frame_params
 from smpltpu.pipeline.common import (
     StageTimer,
     append_log,
@@ -75,7 +75,7 @@ def parse_args(argv):
         "lambda_t": 3.0, "s2_iters": S2_ITERS_DEFAULT,
         "batched_windows": False, "pose_prior": None,
         "resume": False, "profile": False, "metrics_jsonl": None,
-        "init_from_anchors": False,
+        "init_from_anchors": False, "jax_render": False,
     }
     positional = ["max_iters_s1", "max_iters_s2", "skip", "wsize", "overlap",
                   "beta_pose", "beta_shape", "lambda_t"]
@@ -90,6 +90,8 @@ def parse_args(argv):
             opts["resume"] = True
         elif a == "--init-from-anchors":
             opts["init_from_anchors"] = True
+        elif a == "--jax-render":
+            opts["jax_render"] = True
         elif a == "--profile":
             opts["profile"] = True
         elif a == "--metrics-jsonl" and rest:
@@ -293,7 +295,8 @@ def main(argv=None) -> int:
                 continue
             render_overlay_image(
                 model, verts[i - s], ds["images"][i],
-                os.path.join(opts["out_dir"], f"frame_{i}_multi.png"), cam)
+                os.path.join(opts["out_dir"], f"frame_{i}_multi.png"), cam,
+                use_jax=opts["jax_render"])
             rendered[i] = True
         save_ckpt(next_start=s + stride)
 
@@ -344,7 +347,8 @@ def main(argv=None) -> int:
         for k, i in enumerate(tail):
             render_overlay_image(
                 model, tail_verts[k], ds["images"][i],
-                os.path.join(opts["out_dir"], f"frame_{i}_multi.png"), cam)
+                os.path.join(opts["out_dir"], f"frame_{i}_multi.png"), cam,
+                use_jax=opts["jax_render"])
             rendered[i] = True
     save_ckpt(next_start=n_frames)
 

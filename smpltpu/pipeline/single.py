@@ -64,6 +64,7 @@ def parse_args(argv):
         "img_folder": argv[2], "out_dir": argv[3],
         "max_iters": 100, "beta_pose": 20.0, "beta_shape": 30.0,
         "opt_shape": False, "use_gmm": False, "pose_prior": None,
+        "jax_render": False,
     }
     seen_numeric = 0
     rest = list(argv[4:])
@@ -75,6 +76,8 @@ def parse_args(argv):
             opts["use_gmm"] = True
         elif a == "--pose-prior" and rest:  # framework extension
             opts["pose_prior"] = rest.pop(0)
+        elif a == "--jax-render":  # on-device z-buffer renderer
+            opts["jax_render"] = True
         elif _is_number(a):
             if seen_numeric == 0:
                 opts["max_iters"] = max(1, int(float(a)))
@@ -170,7 +173,8 @@ def main(argv=None) -> int:
         rows.append((i, float(errors[i]), per_frame_ms))
         render_overlay_image(
             model, verts[i], ds["images"][i],
-            os.path.join(opts["out_dir"], f"frame_{i}_render.png"), cam)
+            os.path.join(opts["out_dir"], f"frame_{i}_render.png"), cam,
+            use_jax=opts["jax_render"])
     append_log(opts["out_dir"], rows)
     save_params(opts["out_dir"], "params_single.npz", params, shapes,
                 extra={"converged": np.asarray(state.converged),
