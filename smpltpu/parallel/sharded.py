@@ -156,6 +156,13 @@ def build_sharded_gn_step(
         c_ww = c_ww + (bs * bs) * jnp.eye(n_shapes, dtype=dtype)
         g_w = jax.lax.psum(jnp.sum(g_w_loc, axis=0), axis) + (bs * bs) * w
 
+        if cfg.freeze_scale:  # gauge fix (see solve/multi_frame.py)
+            m = jnp.ones(h_pp_d.shape[-1], dtype).at[0].set(0.0)
+            h_pp_d = (h_pp_d * m[None, :, None] * m[None, None, :]
+                      + jnp.diag(1.0 - m)[None])
+            b_pw = b_pw * m[None, :, None]
+            g_p = g_p * m[None, :]
+
         # damping
         dscale = jnp.clip(jnp.diagonal(h_pp_d, axis1=1, axis2=2), 1e-6, 1e32)
         h_damped = h_pp_d + damping * jax.vmap(jnp.diag)(dscale)
@@ -211,7 +218,10 @@ def build_sharded_gn_step(
             0, cg_iters, cg_body, carry)
 
         res_norm = jnp.sqrt(dot(r_p, r_w, r_p, r_w))
-        return params + x_p, w + x_w, res_norm
+        new_p = params + x_p
+        # gauge fix: clamp scale (see solve/multi_frame.py docstring)
+        new_p = new_p.at[:, 0].set(jnp.clip(new_p[:, 0], 0.3, 3.0))
+        return new_p, w + x_w, res_norm
 
     in_specs = (P(axis), P(), P(axis), P(axis), P(axis))
     out_specs = (P(axis), P(), P())

@@ -25,9 +25,25 @@ Reference semantics reproduced (MultiFrameBA.h):
     is just betaShape=1e5 (src/main_multi_frame.cpp:163,183);
   * temporal first-order smoothness with weight lambdaTemp on rootT,
     rootAA and every non-root jointAA — NOT on scale (:121-142);
-  * NO scale bounds and NO frozen joints in this path (unlike the
-    single-frame solver — the reference differs the same way);
+  * NO frozen joints in this path (unlike the single-frame solver — the
+    reference differs the same way);
   * per-frame fixed root orientation R0 = that frame's avatar r[0] (:87).
+
+Documented deviation (gauge fix): the reprojection energy has an exact
+per-frame gauge freedom — scale the skeleton AND the translation by any
+alpha, identical pixels — and the temporal smoothness term on rootT
+actively REWARDS sliding down it (smaller translations = smaller temporal
+residuals), so the true optimum of the reference's unbounded multi-frame
+objective collapses scale toward 0. The reference never notices because
+(a) it discards the multi-path scale entirely after the solve and (b)
+Ceres crawls the flat direction slowly; a converged batched LM does
+notice. We therefore FREEZE scale at its init in this path by default
+(freeze_scale=True) — the frozen dof is exactly the gauge direction, so
+the fitted pose is gauge-equivalent with the evaluation convention's
+scale=1, and every observable output matches the reference's intent.
+Set freeze_scale=False for strict reference behavior (scale then also
+gets clamped to the single-frame solver's [0.3, 3] as a backstop,
+Sim3BA.h:613-614).
 """
 
 from __future__ import annotations
@@ -38,7 +54,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from smpltpu.constants import HUBER_DELTA
+from smpltpu.constants import HUBER_DELTA, SCALE_MAX, SCALE_MIN
 from smpltpu.energy import Camera, SkeletonSpec, keypoint_residuals
 from smpltpu.energy.params import frame_param_layout
 from smpltpu.energy.temporal import temporal_mask
@@ -51,6 +67,7 @@ class MultiFrameConfig(NamedTuple):
     beta_shape: float
     lambda_temporal: float
     max_iters: int
+    freeze_scale: bool = True   # gauge fix, see module docstring
     huber_delta: float = HUBER_DELTA
     init_radius: float = 1e4
     min_rel_decrease: float = 1e-3
@@ -179,6 +196,13 @@ def build_multi_fitter(
         # shape prior
         c_ww = jnp.sum(h_ww, axis=0) + (bs * bs) * jnp.eye(w.shape[0], dtype=dtype)
         g_w_tot = jnp.sum(g_w, axis=0) + (bs * bs) * w
+
+        if cfg.freeze_scale:
+            m = jnp.ones(p_dim, dtype).at[0].set(0.0)
+            h_pp = (h_pp * m[None, :, None] * m[None, None, :]
+                    + jnp.diag(1.0 - m)[None])
+            b_pw = b_pw * m[None, :, None]
+            g_p = g_p * m[None, :]
         return h_pp, off_scale, b_pw, c_ww, g_p, g_w_tot
 
     def step(state: MultiFrameState, inp):
@@ -204,6 +228,12 @@ def build_multi_fitter(
         dp = -y - jnp.einsum("fps,s->fp", cap_y, dw)
 
         params_new = params + dp
+        if cfg.freeze_scale:
+            params_new = params_new.at[:, 0].set(params[:, 0])
+        else:  # backstop clamp (see module docstring)
+            params_new = params_new.at[:, 0].set(
+                jnp.clip(params_new[:, 0], SCALE_MIN, SCALE_MAX))
+        dp = params_new - params  # actual step after projection
         w_new = w + dw
         cost_new = cost_fn(params_new, w_new, kp, r0, pair_w)
 

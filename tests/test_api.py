@@ -1,0 +1,59 @@
+"""High-level fit_video API tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from smpltpu.constants import N_KP_SLOTS, USE_SMPL, init_root_rotation
+from smpltpu.energy import make_skeleton_spec, skeleton_joints_cam
+from smpltpu.energy.reproj import project
+from smpltpu.models import SMPLModel
+from smpltpu.pipeline.api import fit_video
+from smpltpu.utils import default_intrinsics
+from tests.test_multi_frame import _smooth_gt_video
+
+W, H = 720, 1280
+
+
+@pytest.fixture(scope="module")
+def api_video(small_model_dict):
+    model = SMPLModel.from_dict(small_model_dict, dtype=jnp.float64)
+    cam = default_intrinsics(W, H, dtype=jnp.float64)
+    spec = make_skeleton_spec(model, init_root_rotation(), with_shape=True)
+    rng = np.random.default_rng(9)
+    f = 9
+    gt = _smooth_gt_video(rng, f)
+    kp = np.zeros((f, N_KP_SLOTS, 4))
+    for i in range(f):
+        uv = np.asarray(project(
+            skeleton_joints_cam(gt[i], jnp.zeros(10), spec), cam))
+        kp[i, :, 0] = USE_SMPL
+        kp[i, :, 1:3] = uv[USE_SMPL]
+        kp[i, :, 3] = 1.0
+    return kp
+
+
+def test_fit_video_single(small_model_dict, api_video):
+    res = fit_video(small_model_dict, api_video, W, H, mode="single",
+                    beta_pose=1.0, beta_shape=0.0, max_iters=40,
+                    dtype=jnp.float64)
+    assert res.params.shape == (9, 76)
+    assert res.errors_px.shape == (9,)
+    assert np.mean(res.errors_px) < 25.0
+    assert res.verts is None
+
+
+def test_fit_video_multi_with_verts(small_model_dict, api_video):
+    res = fit_video(small_model_dict, api_video, W, H, mode="multi",
+                    beta_pose=1.0, max_iters=60, anchor_skip=3, window=4,
+                    overlap=1, s2_iters=20, want_verts=True,
+                    dtype=jnp.float64)
+    assert res.params.shape == (9, 76)
+    assert res.shape.shape == (10,)
+    assert res.verts.shape[0] == 9
+    assert np.mean(res.errors_px) < 25.0
+
+
+def test_fit_video_bad_mode(small_model_dict, api_video):
+    with pytest.raises(ValueError, match="unknown mode"):
+        fit_video(small_model_dict, api_video, W, H, mode="banana")
