@@ -2,9 +2,12 @@
 
 Workload (BASELINE.md target row: >= 100 frames/sec fitted, 1000-frame
 video): synthesize MediaPipe-like keypoints for 1000 frames from known
-smooth poses, then run the stage-2 production path — 20-frame sliding
-windows (overlap 5, shape locked), ALL windows solved at once as one
-vmapped multi-frame LM batch (60 iterations each) on the TPU.
+smooth poses, then run the FULL production pipeline on the TPU — stage-1
+shared-shape anchor solve (100 anchors x 150 LM iters), warm-started
+20-frame sliding windows (overlap 5, shape locked), ALL windows solved at
+once as one vmapped multi-frame LM batch (60 iterations each). The timed
+quantity is stage-1 + stage-2 end to end; the residual-pixel sanity line
+on stderr should sit near the injected 1.4 px observation noise.
 
 Prints exactly ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -81,13 +84,45 @@ def main():
         kpw[i, :e - s] = kp[s:e]
         validw[i, :e - s] = 1.0
 
+    # ---- stage 1: shared-shape anchor solve (every 10th frame) ----
+    anchor_idx = np.arange(0, N_FRAMES, 10)
+    cfg1 = MultiFrameConfig(beta_pose=5.0, beta_shape=25.0,
+                            lambda_temporal=3.0, max_iters=150)
+    fit1 = build_multi_fitter(spec, cam, cfg1, 10)
+    a_p = jnp.tile(init_frame_params(), (len(anchor_idx), 1))
+    a_r = jnp.tile(jnp.asarray(r0c), (len(anchor_idx), 1, 1))
+    a_k = jnp.asarray(kp[anchor_idx])
+    log(f"bench: stage-1 {len(anchor_idx)} anchors x 150 iters; compiling...")
+    t0 = time.perf_counter()
+    fit1(a_p, jnp.zeros(10, jnp.float32), a_k, a_r).params.block_until_ready()
+    log(f"bench: stage-1 compile+first {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    st1 = fit1(a_p, jnp.zeros(10, jnp.float32), a_k, a_r)
+    st1.params.block_until_ready()
+    dt1 = time.perf_counter() - t0
+
+    # warm-start window inits: interpolate between anchors
+    anchor_params = np.asarray(st1.params)
+    poses = np.zeros((N_FRAMES, anchor_params.shape[1]), np.float32)
+    for k, fid in enumerate(anchor_idx):
+        nxt = anchor_idx[k + 1] if k + 1 < len(anchor_idx) else N_FRAMES
+        pb = anchor_params[k + 1] if k + 1 < len(anchor_idx) else anchor_params[k]
+        for i in range(fid, min(nxt, N_FRAMES)):
+            t = (i - fid) / max(nxt - fid, 1)
+            poses[i] = (1 - t) * anchor_params[k] + t * pb
+
+    # ---- stage 2: ALL windows, one vmapped batch, shape locked ----
     cfg = MultiFrameConfig(beta_pose=5.0, beta_shape=1e5, lambda_temporal=3.0,
                            max_iters=S2_ITERS)
     fit = build_multi_fitter(spec, cam, cfg, 10)
     bfit = jax.jit(jax.vmap(lambda a, b, c, d, e: fit(a, b, c, d, e)))
 
-    p0 = jnp.tile(init_frame_params(), (n_win, WSIZE, 1))
-    w0 = jnp.zeros((n_win, 10), jnp.float32)
+    p0 = np.tile(np.asarray(init_frame_params()), (n_win, WSIZE, 1))
+    for i, s in enumerate(starts):
+        e = min(s + WSIZE, N_FRAMES)
+        p0[i, :e - s] = poses[s:e]
+    p0 = jnp.asarray(p0)
+    w0 = jnp.tile(st1.shape, (n_win, 1))
     r0 = jnp.tile(jnp.asarray(r0c), (n_win, WSIZE, 1, 1))
     kpj = jnp.asarray(kpw)
     vj = jnp.asarray(validw)
@@ -96,7 +131,7 @@ def main():
     t0 = time.perf_counter()
     st = bfit(p0, w0, kpj, r0, vj)
     st.params.block_until_ready()
-    log(f"bench: compile+first solve {time.perf_counter() - t0:.1f}s")
+    log(f"bench: stage-2 compile+first solve {time.perf_counter() - t0:.1f}s")
 
     times = []
     for _ in range(3):
@@ -104,10 +139,11 @@ def main():
         st = bfit(p0, w0, kpj, r0, vj)
         st.params.block_until_ready()
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = dt1 + min(times)  # full pipeline: stage 1 + all windows
     fps = N_FRAMES / dt
-    log(f"bench: steady-state {dt * 1e3:.0f} ms -> {fps:.0f} frames/s; "
-        f"runs: {[f'{t * 1e3:.0f}ms' for t in times]}")
+    log(f"bench: stage-1 {dt1 * 1e3:.0f} ms + stage-2 {min(times) * 1e3:.0f} ms "
+        f"-> {fps:.0f} frames/s end-to-end; stage-2 runs: "
+        f"{[f'{t * 1e3:.0f}ms' for t in times]}")
 
     # sanity: the fit must actually have converged to a sensible error
     errs = []
@@ -118,7 +154,7 @@ def main():
         s = starts[i]
         e = min(s + WSIZE, N_FRAMES)
         uvs = np.asarray(sample_joints(
-            st.params[i, :e - s], jnp.tile(st.shape[i], (e - s, 1))))
+            st.params[i][:e - s], jnp.tile(st.shape[i], (e - s, 1))))
         for k in range(0, e - s, 5):
             errs.append(np.linalg.norm(
                 uvs[k][USE_SMPL] - kp[s + k, :, 1:3], axis=-1).mean())
