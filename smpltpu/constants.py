@@ -67,6 +67,18 @@ FOCAL_FACTOR = 0.9
 # Parity: src/main_single_frame.cpp:208-212, src/main_multi_frame.cpp:85-93.
 INIT_ROOT_DEPTH = 3.0
 
+# Skeleton-edge table for keypoint visualizations. The reference declares
+# this and never uses it (src/main_single_frame.cpp:32-37, noted in
+# SURVEY.md section 2.1); kept for drop-in parity and available to plotting
+# tools here.
+BONES = np.array(
+    [[1, 2], [1, 4], [2, 5], [4, 7], [5, 8],
+     [16, 17], [15, 16], [15, 17],
+     [16, 18], [17, 19], [18, 20], [19, 21],
+     [1, 16], [2, 17]],
+    dtype=np.int32,
+)
+
 # SMPL topology dimensions (standard basicModel_{f,m}_lbs_10_207_0).
 SMPL_NUM_JOINTS = 24
 SMPL_NUM_SHAPES = 10
