@@ -1,0 +1,46 @@
+"""Regression pin for the driver contract in __graft_entry__.py.
+
+Round 1 failed the driver's multi-chip dryrun (MULTICHIP_r01.json ok=false):
+the platform-forcing jax.config.update was guarded behind "device-count flag
+not yet in XLA_FLAGS", which the driver's preset flag skipped, so the latched
+JAX_PLATFORMS=axon won and only 1 device existed. These tests reproduce the
+driver's exact environments in subprocesses so the bug can never return.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+AXON_SITE = "/root/.axon_site"
+
+
+def _run_dryrun(extra_env):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    pythonpath = REPO
+    if os.path.isdir(AXON_SITE):
+        pythonpath += os.pathsep + AXON_SITE
+    env["PYTHONPATH"] = pythonpath
+    env.update(extra_env)
+    return subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=600)
+
+
+def test_dryrun_with_driver_preset_xla_flags():
+    """The driver presets the host-device-count flag itself (the round-1
+    failure mode): the platform force must still apply."""
+    res = _run_dryrun(
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "dryrun_multichip OK: 8 devices" in res.stdout
+
+
+def test_dryrun_with_no_env():
+    """Plain invocation (no XLA_FLAGS, latched platform from sitecustomize)
+    must set up its own 8 virtual devices."""
+    res = _run_dryrun({})
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "dryrun_multichip OK: 8 devices" in res.stdout
