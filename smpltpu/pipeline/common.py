@@ -106,9 +106,11 @@ def batched_frame_eval(model: SMPLModel, params, shapes, r0, kp, cam: Camera,
                                want_verts=want_verts)
             err = mean_pixel_error(out["joints"], k, cam)
             return (err, out["verts"]) if want_verts else (err, None)
-        _eval_cache[key] = jax.jit(jax.vmap(one))
+        # pin `model` in the value: id() keys are only unique while the
+        # object is alive — a recycled id must not hit a stale eval fn
+        _eval_cache[key] = (model, jax.jit(jax.vmap(one)))
     dtype = model.v_template.dtype
-    err, verts = _eval_cache[key](
+    err, verts = _eval_cache[key][1](
         jnp.asarray(params, dtype), jnp.asarray(shapes, dtype),
         jnp.asarray(r0, dtype), jnp.asarray(kp, dtype))
     return np.asarray(err), (None if verts is None else np.asarray(verts))
@@ -116,12 +118,16 @@ def batched_frame_eval(model: SMPLModel, params, shapes, r0, kp, cam: Camera,
 
 def render_overlay_image(model: SMPLModel, verts_cam: np.ndarray,
                          image_path: str, out_path: str, cam: Camera,
-                         use_jax: bool = False) -> bool:
+                         use_jax: bool = False,
+                         img: Optional[np.ndarray] = None) -> bool:
     """Overlay render from precomputed camera-space vertices (reference:
     renderSMPLMesh + imwrite, src/main_single_frame.cpp:273-277).
     use_jax switches to the on-device z-buffer rasterizer
-    (render/jax_raster.py) instead of the host painter renderer."""
-    img = imread(image_path)
+    (render/jax_raster.py) instead of the host painter renderer.
+    Pass a preloaded ``img`` to skip the read (callers that already
+    checked readability, e.g. the single CLI's skip-unreadable path)."""
+    if img is None:
+        img = imread(image_path)
     if img is None:
         return False
     if use_jax:

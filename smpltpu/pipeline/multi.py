@@ -144,7 +144,14 @@ def main(argv=None) -> int:
           f"  lambda_temp={opts['lambda_t']}")
 
     dtype = jnp.float32
-    spec = make_skeleton_spec(model, init_root_rotation(), with_shape=True)
+    # Reference parity: OptimizeMultiFrame receives a null jointShapeReg
+    # when betaShape == 0 (MultiFrameBA.h:88), leaving shape inert at zero
+    # in stage 1 — so stage 1's spec drops the shape dependence there.
+    # Stage 2 always passes the 1e5 shape lock, so its spec keeps it.
+    spec = make_skeleton_spec(model, init_root_rotation(),
+                              with_shape=opts["beta_shape"] > 0)
+    spec_s2 = (spec if opts["beta_shape"] > 0 else
+               make_skeleton_spec(model, init_root_rotation(), with_shape=True))
     kp = ds["kp_batch"].astype(np.float32)
     poses = np.tile(np.asarray(init_frame_params(dtype=dtype)), (n_frames, 1))
     r0 = np.tile(np.asarray(init_root_rotation(), dtype=np.float32),
@@ -246,7 +253,7 @@ def main(argv=None) -> int:
                             beta_shape=SHAPE_LOCK,
                             lambda_temporal=opts["lambda_t"],
                             max_iters=opts["s2_iters"])
-    fit2 = build_multi_fitter(spec, cam, cfg2, model.num_shapes, dtype=dtype)
+    fit2 = build_multi_fitter(spec_s2, cam, cfg2, model.num_shapes, dtype=dtype)
     wsize = opts["wsize"]
 
     default_pose = np.asarray(init_frame_params(dtype=dtype))

@@ -40,6 +40,7 @@ from smpltpu.pipeline.common import (
     save_params,
 )
 from smpltpu.solve import build_fitter, make_single_frame_problem
+from smpltpu.utils.image import imread
 
 USAGE = """usage: python -m smpltpu.pipeline.single <SMPL.npz> <kps_folder> <images_folder> <out_dir>
                    [max_iters=100] [beta_pose=20] [beta_shape=30]
@@ -167,6 +168,12 @@ def main(argv=None) -> int:
             # (src/main_single_frame.cpp:194 'break')
             print(f"No image for frame {i}", file=sys.stderr)
             break
+        # reference skips unreadable-image frames before solving/logging
+        # (src/main_single_frame.cpp:195 'continue'): no log row either
+        img = imread(ds["images"][i])
+        if img is None:
+            print(f"Failed to read {ds['images'][i]}", file=sys.stderr)
+            continue
         if not valid_frames[i]:
             print(f"Frame {i} has no valid keypoints; skipping.", file=sys.stderr)
             continue
@@ -174,7 +181,7 @@ def main(argv=None) -> int:
         render_overlay_image(
             model, verts[i], ds["images"][i],
             os.path.join(opts["out_dir"], f"frame_{i}_render.png"), cam,
-            use_jax=opts["jax_render"])
+            use_jax=opts["jax_render"], img=img)
     append_log(opts["out_dir"], rows)
     save_params(opts["out_dir"], "params_single.npz", params, shapes,
                 extra={"converged": np.asarray(state.converged),

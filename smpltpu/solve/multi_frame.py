@@ -313,6 +313,8 @@ def fit_multi_frame(
     key = (id(spec), id(cam), cfg, int(params0.shape[0]),
            jnp.dtype(params0.dtype).name, int(shape0.shape[0]))
     if key not in _multi_cache:
-        _multi_cache[key] = build_multi_fitter(
-            spec, cam, cfg, int(shape0.shape[0]), dtype=params0.dtype)
-    return _multi_cache[key](params0, shape0, kp, r0, frame_valid)
+        # pin (spec, cam) in the value: id() keys are only unique while the
+        # objects are alive — a recycled id must not hit a stale fitter
+        _multi_cache[key] = ((spec, cam), build_multi_fitter(
+            spec, cam, cfg, int(shape0.shape[0]), dtype=params0.dtype))
+    return _multi_cache[key][1](params0, shape0, kp, r0, frame_valid)

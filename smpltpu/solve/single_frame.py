@@ -163,5 +163,8 @@ def fit_frames(
     skip-empty-frame control flow (src/main_single_frame.cpp:200-203)."""
     key = (id(prob), int(max_iters), jnp.dtype(x0.dtype).name)
     if key not in _fitter_cache:
-        _fitter_cache[key] = build_fitter(prob, max_iters, dtype=x0.dtype)
-    return _fitter_cache[key](x0, kp_dense)
+        # pin `prob` in the value: id() keys are only unique while the
+        # object is alive, so the cache must hold a strong reference or a
+        # recycled id could silently return a fitter for a dead problem
+        _fitter_cache[key] = (prob, build_fitter(prob, max_iters, dtype=x0.dtype))
+    return _fitter_cache[key][1](x0, kp_dense)

@@ -171,3 +171,22 @@ def test_multi_cli_count_mismatch(tmp_path, rng):
     os.remove(os.path.join(img_dir, "frame_0006.png"))
     rc = multi_cli.main([model_path, kp_dir, img_dir, str(tmp_path / "o")])
     assert rc == 1
+
+
+def test_single_cli_skips_unreadable_image(tmp_path, rng, capsys):
+    """Reference parity: a frame whose image exists but fails to read gets
+    no log row and no render (src/main_single_frame.cpp:195 'continue')."""
+    model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng, empty_frames=())
+    # corrupt frame 1's image (truncated garbage, not a decodable PNG)
+    with open(os.path.join(img_dir, "frame_0001.png"), "wb") as f:
+        f.write(b"\x89PNG-not-really")
+    out_dir = str(tmp_path / "out_bad")
+    rc = single_cli.main([model_path, kp_dir, img_dir, out_dir,
+                          "5", "1.0", "0.0"])
+    assert rc == 0
+    assert "Failed to read" in capsys.readouterr().err
+    log = open(os.path.join(out_dir, "log.csv")).read().splitlines()
+    frames_logged = [int(r.split(",")[0]) for r in log[1:]]
+    assert 1 not in frames_logged
+    assert len(frames_logged) == N_FRAMES - 1
+    assert not os.path.isfile(os.path.join(out_dir, "frame_1_render.png"))
