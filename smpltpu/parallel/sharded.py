@@ -31,10 +31,16 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from smpltpu.constants import SCALE_MAX, SCALE_MIN
 from smpltpu.energy import Camera, SkeletonSpec, keypoint_residuals
 from smpltpu.energy.params import frame_param_layout
 from smpltpu.energy.temporal import temporal_mask
-from smpltpu.solve.multi_frame import MultiFrameConfig, _pose_prior_sel
+from smpltpu.solve.lm import _huber_rho
+from smpltpu.solve.multi_frame import (
+    MultiFrameConfig,
+    MultiFrameResult,
+    _pose_prior_sel,
+)
 
 
 # ---------------------------------------------------------------------
@@ -219,8 +225,13 @@ def build_sharded_gn_step(
 
         res_norm = jnp.sqrt(dot(r_p, r_w, r_p, r_w))
         new_p = params + x_p
-        # gauge fix: clamp scale (see solve/multi_frame.py docstring)
-        new_p = new_p.at[:, 0].set(jnp.clip(new_p[:, 0], 0.3, 3.0))
+        if cfg.freeze_scale:
+            # the masked system already held scale fixed; pin it exactly
+            new_p = new_p.at[:, 0].set(params[:, 0])
+        else:
+            # backstop clamp (Sim3BA.h:613-614 via solve/multi_frame.py)
+            new_p = new_p.at[:, 0].set(
+                jnp.clip(new_p[:, 0], SCALE_MIN, SCALE_MAX))
         return new_p, w + x_w, res_norm
 
     in_specs = (P(axis), P(), P(axis), P(axis), P(axis))
@@ -243,3 +254,243 @@ def sharded_gn_step(mesh, spec, cam, cfg, params, w, kp, r0, **kw):
     """Convenience one-shot wrapper around build_sharded_gn_step."""
     step = build_sharded_gn_step(mesh, spec, cam, cfg, int(w.shape[0]), **kw)
     return step(params, w, kp, r0)
+
+
+# ---------------------------------------------------------------------
+# path 3: FULL sharded LM — trust-region loop around the halo PCG
+# ---------------------------------------------------------------------
+def build_sharded_lm_fitter(
+    mesh: Mesh,
+    spec: SkeletonSpec,
+    cam: Camera,
+    cfg: MultiFrameConfig,
+    n_shapes: int,
+    cg_iters: int = 64,
+    axis: str = "frames",
+    dtype=jnp.float32,
+):
+    """The multi-chip counterpart of ``build_multi_fitter``: the COMPLETE
+    trust-region LM minimizer of the shared-shape multi-frame objective
+    (replacing the whole ceres::Solve call, MultiFrameBA.h:145-151, not
+    just one step) with frames sharded over the mesh.
+
+    Per iteration, inside ONE shard_map-wrapped lax.scan (one jitted SPMD
+    program for the whole solve):
+      * local normal-equation assembly (vmapped jacfwd, no communication);
+      * shape Schur pieces psum-reduced; temporal coupling across shard
+        boundaries via ppermute halo rows;
+      * block-Jacobi PCG on the damped SPD system;
+      * Ceres-style accept/reject with the trust-region radius schedule of
+        solve/lm.py (grow r/max(1/3, 1-(2rho-1)^3), shrink r/k doubling)
+        on replicated scalars — every shard computes identical psum-reduced
+        cost/rho, so the control state stays in lockstep with no extra
+        broadcast.
+
+    Returns fn(params0 (F,P), shape0 (nS,), kp (F,K,4), r0 (F,3,3),
+    frame_valid (F,) | None) -> MultiFrameResult. F must be divisible by
+    the mesh size (pad with frame_valid=0 rows + masked keypoints).
+    Mesh-invariance (1 vs 8 devices) and agreement with the single-chip
+    fitter are pinned in tests/test_parallel.py.
+    """
+    n_joints = len(spec.parents)
+    lay = frame_param_layout(n_joints)
+    p_dim = lay["total"]
+    bp = jnp.asarray(cfg.beta_pose, dtype)
+    bs = jnp.asarray(cfg.beta_shape, dtype)
+    lam_t = jnp.asarray(cfg.lambda_temporal, dtype)
+    tmask = temporal_mask(n_joints, dtype)
+    psel = _pose_prior_sel(n_joints, dtype)
+    aa_slice = slice(lay["joint_aa"][0], lay["joint_aa"][1])
+    n_dev = mesh.shape[axis]
+    perm_fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def kp_res(p_f, w, kp_f, r0_f):
+        return keypoint_residuals(p_f, w, kp_f, cam, spec, r0_f)
+
+    def local_assembly(params, w, kp, r0):
+        def one(p_f, kp_f, r0_f):
+            r = kp_res(p_f, w, kp_f, r0_f)
+            jp = jax.jacfwd(lambda q: kp_res(q, w, kp_f, r0_f))(p_f)
+            jw = jax.jacfwd(lambda v: kp_res(p_f, v, kp_f, r0_f))(w)
+            blocks = r.reshape(-1, 2)
+            s = jnp.sum(blocks * blocks, axis=-1)
+            irls = jnp.sqrt(jnp.minimum(1.0, cfg.huber_delta /
+                                        jnp.sqrt(jnp.maximum(s, 1e-24))))
+            rw = jnp.repeat(irls, 2)
+            r, jp, jw = r * rw, jp * rw[:, None], jw * rw[:, None]
+            return jp.T @ jp, jp.T @ jw, jw.T @ jw, jp.T @ r, jw.T @ r
+
+        return jax.vmap(one)(params, kp, r0)
+
+    def lm_spmd(params0, w0, kp, r0, pair_c):
+        def halo_next(x):
+            return jax.lax.ppermute(x[0], axis, perm_bwd)
+
+        def halo_prev(x):
+            return jax.lax.ppermute(x[-1], axis, perm_fwd)
+
+        lam2 = (lam_t * pair_c) ** 2
+        lam2_prev = jnp.concatenate(
+            [jax.lax.ppermute(lam2[-1], axis, perm_fwd)[None], lam2[:-1]])
+
+        def cost_fn(params, w):
+            r = jax.vmap(kp_res, in_axes=(0, None, 0, 0))(params, w, kp, r0)
+            s = jnp.sum(r.reshape(params.shape[0], -1, 2) ** 2, axis=-1)
+            c_kp = jnp.sum(_huber_rho(s, cfg.huber_delta))
+            c_pose = bp * bp * jnp.sum(params[:, aa_slice] ** 2)
+            p_next = jnp.concatenate([params[1:], halo_next(params)[None]])
+            diff = (params - p_next) * tmask
+            c_temp = jnp.sum(lam2[:, None] * diff * diff)
+            total = jax.lax.psum(c_kp + c_pose + c_temp, axis)
+            return 0.5 * (total + bs * bs * jnp.sum(w * w))
+
+        def pdot(a_p, a_w, b_p, b_w):
+            return jax.lax.psum(jnp.sum(a_p * b_p), axis) + a_w @ b_w
+
+        def step(carry, _):
+            (params, w, radius, dec_f, cost, converged, n_acc, iters) = carry
+
+            h_pp, b_pw, h_ww, g_p, g_w_loc = local_assembly(params, w, kp, r0)
+            h_pp = h_pp + (bp * bp) * jnp.diag(psel)[None]
+            g_p = g_p + (bp * bp) * psel[None, :] * params
+            deg = lam2 + lam2_prev
+            h_pp = h_pp + deg[:, None, None] * jnp.diag(tmask)[None]
+            p_next = jnp.concatenate([params[1:], halo_next(params)[None]])
+            p_prev = jnp.concatenate([halo_prev(params)[None], params[:-1]])
+            g_p = g_p + lam2[:, None] * tmask * (params - p_next)
+            g_p = g_p - lam2_prev[:, None] * tmask * (p_prev - params)
+
+            c_ww = jax.lax.psum(jnp.sum(h_ww, axis=0), axis)
+            c_ww = c_ww + (bs * bs) * jnp.eye(n_shapes, dtype=dtype)
+            g_w = (jax.lax.psum(jnp.sum(g_w_loc, axis=0), axis)
+                   + (bs * bs) * w)
+
+            if cfg.freeze_scale:  # gauge fix (solve/multi_frame.py)
+                m = jnp.ones(p_dim, dtype).at[0].set(0.0)
+                h_pp = (h_pp * m[None, :, None] * m[None, None, :]
+                        + jnp.diag(1.0 - m)[None])
+                b_pw = b_pw * m[None, :, None]
+                g_p = g_p * m[None, :]
+
+            damp_p = jnp.clip(jnp.diagonal(h_pp, axis1=1, axis2=2),
+                              cfg.diag_min, cfg.diag_max) / radius
+            h_damped = h_pp + jax.vmap(jnp.diag)(damp_p + cfg.diag_eps)
+            damp_w = jnp.clip(jnp.diagonal(c_ww),
+                              cfg.diag_min, cfg.diag_max) / radius
+            c_damped = c_ww + jnp.diag(damp_w + cfg.diag_eps)
+
+            def matvec(blocks_p, blocks_w, v_p, v_w):
+                u = jnp.einsum("fab,fb->fa", blocks_p, v_p)
+                v_next = jnp.concatenate([v_p[1:], halo_next(v_p)[None]])
+                v_prev = jnp.concatenate([halo_prev(v_p)[None], v_p[:-1]])
+                u = u - lam2[:, None] * tmask * v_next
+                u = u - lam2_prev[:, None] * tmask * v_prev
+                u = u + jnp.einsum("fps,s->fp", b_pw, v_w)
+                u_w = jax.lax.psum(jnp.einsum("fps,fp->s", b_pw, v_p), axis)
+                u_w = u_w + blocks_w @ v_w
+                return u, u_w
+
+            pre_p = jnp.linalg.inv(h_damped)
+            pre_w = jnp.linalg.inv(c_damped)
+
+            def precond(r_p, r_w):
+                return jnp.einsum("fab,fb->fa", pre_p, r_p), pre_w @ r_w
+
+            x_p = jnp.zeros_like(g_p)
+            x_w = jnp.zeros_like(g_w)
+            r_p, r_w = -g_p, -g_w
+            z_p, z_w = precond(r_p, r_w)
+            rho0 = pdot(r_p, r_w, z_p, z_w)
+
+            def cg_body(_, c):
+                x_p, x_w, r_p, r_w, d_p, d_w, rho = c
+                q_p, q_w = matvec(h_damped, c_damped, d_p, d_w)
+                alpha = rho / jnp.maximum(pdot(d_p, d_w, q_p, q_w), 1e-30)
+                x_p = x_p + alpha * d_p
+                x_w = x_w + alpha * d_w
+                r_p = r_p - alpha * q_p
+                r_w = r_w - alpha * q_w
+                z_p, z_w = precond(r_p, r_w)
+                rho_new = pdot(r_p, r_w, z_p, z_w)
+                beta = rho_new / jnp.maximum(rho, 1e-30)
+                return (x_p, x_w, r_p, r_w, z_p + beta * d_p,
+                        z_w + beta * d_w, rho_new)
+
+            x_p, x_w, _, _, _, _, _ = jax.lax.fori_loop(
+                0, cg_iters, cg_body,
+                (x_p, x_w, r_p, r_w, z_p, z_w, rho0))
+
+            params_new = params + x_p
+            if cfg.freeze_scale:
+                params_new = params_new.at[:, 0].set(params[:, 0])
+            else:
+                params_new = params_new.at[:, 0].set(
+                    jnp.clip(params_new[:, 0], SCALE_MIN, SCALE_MAX))
+            dp = params_new - params
+            w_new = w + x_w
+            cost_new = cost_fn(params_new, w_new)
+
+            # model decrease on the UNDAMPED quadratic
+            hd, hd_w = matvec(h_pp, c_ww, dp, x_w)
+            gd = pdot(g_p, g_w, dp, x_w)
+            dhd = pdot(hd, hd_w, dp, x_w)
+            model_decrease = -gd - 0.5 * dhd
+            rho = (cost - cost_new) / jnp.maximum(model_decrease, 1e-30)
+            valid = jnp.isfinite(cost_new) & (model_decrease > 0)
+            accept = valid & (rho > cfg.min_rel_decrease)
+
+            grow = radius / jnp.maximum(1.0 / 3.0,
+                                        1.0 - (2.0 * rho - 1.0) ** 3)
+            shrink = radius / dec_f
+            radius_new = jnp.clip(jnp.where(accept, grow, shrink),
+                                  1e-32, 1e16)
+            dec_new = jnp.where(accept, 2.0, dec_f * 2.0)
+
+            f_conv = jnp.abs(cost - cost_new) <= cfg.ftol * cost
+            converged_new = converged | (accept & f_conv)
+            do_move = accept & jnp.logical_not(converged)
+
+            new_carry = (
+                jnp.where(do_move, params_new, params),
+                jnp.where(do_move, w_new, w),
+                jnp.where(converged, radius, radius_new),
+                jnp.where(converged, dec_f, dec_new),
+                jnp.where(do_move, cost_new, cost),
+                converged_new,
+                n_acc + do_move.astype(jnp.int32),
+                iters + (1 - converged.astype(jnp.int32)),
+            )
+            return new_carry, new_carry[4]
+
+        init = (params0, w0,
+                jnp.asarray(cfg.init_radius, dtype),
+                jnp.asarray(2.0, dtype),
+                cost_fn(params0, w0),
+                jnp.asarray(False),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32))
+        final, costs = jax.lax.scan(step, init, None, length=cfg.max_iters)
+        return final + (costs,)
+
+    in_specs = (P(axis), P(), P(axis), P(axis), P(axis))
+    out_specs = (P(axis), P(), P(), P(), P(), P(), P(), P(), P())
+    spmd = shard_map(lm_spmd, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_vma=False)
+
+    @jax.jit
+    def fit(params0, shape0, kp, r0, frame_valid=None):
+        f_dim = params0.shape[0]
+        assert f_dim % n_dev == 0, (
+            f"frame count {f_dim} not divisible by mesh size {n_dev}; "
+            "pad with frame_valid=0 rows")
+        if frame_valid is None:
+            frame_valid = jnp.ones(f_dim, dtype)
+        pair_c = jnp.concatenate(
+            [frame_valid[:-1] * frame_valid[1:],
+             jnp.zeros(1, dtype)]).astype(dtype)
+        outs = spmd(params0.astype(dtype), shape0.astype(dtype),
+                    kp.astype(dtype), r0.astype(dtype), pair_c)
+        return MultiFrameResult(*outs)
+
+    return fit
