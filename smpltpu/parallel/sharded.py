@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -35,7 +36,7 @@ from smpltpu.constants import SCALE_MAX, SCALE_MIN
 from smpltpu.energy import Camera, SkeletonSpec, keypoint_residuals
 from smpltpu.energy.params import frame_param_layout
 from smpltpu.energy.temporal import temporal_mask
-from smpltpu.solve.lm import _huber_rho
+from smpltpu.solve.lm import _huber_rho, huber_correct_weight
 from smpltpu.solve.multi_frame import (
     MultiFrameConfig,
     MultiFrameResult,
@@ -103,15 +104,18 @@ def build_sharded_gn_step(
     def local_assembly(params, w, kp, r0):
         """Per-shard normal-equation pieces (no communication)."""
         def one(p_f, kp_f, r0_f):
-            r = kp_res(p_f, w, kp_f, r0_f)
-            jp = jax.jacfwd(lambda q: kp_res(q, w, kp_f, r0_f))(p_f)
-            jw = jax.jacfwd(lambda v: kp_res(p_f, v, kp_f, r0_f))(w)
-            blocks = r.reshape(-1, 2)
-            s = jnp.sum(blocks * blocks, axis=-1)
-            irls = jnp.sqrt(jnp.minimum(1.0, cfg.huber_delta /
-                                        jnp.sqrt(jnp.maximum(s, 1e-24))))
-            rw = jnp.repeat(irls, 2)
-            r, jp, jw = r * rw, jp * rw[:, None], jw * rw[:, None]
+            # Huber-corrected residual with the weight inside the trace so
+            # the Jacobian carries the loss curvature (solve/lm.py)
+            def corrected(q, v):
+                r = kp_res(q, v, kp_f, r0_f)
+                blocks = r.reshape(-1, 2)
+                s = jnp.sum(blocks * blocks, axis=-1)
+                hw = huber_correct_weight(s, cfg.huber_delta)
+                return (blocks * hw[:, None]).reshape(-1)
+
+            r = corrected(p_f, w)
+            jp = jax.jacfwd(corrected, argnums=0)(p_f, w)
+            jw = jax.jacfwd(corrected, argnums=1)(p_f, w)
             return jp.T @ jp, jp.T @ jw, jw.T @ jw, jp.T @ r, jw.T @ r
 
         return jax.vmap(one)(params, kp, r0)
@@ -310,20 +314,23 @@ def build_sharded_lm_fitter(
 
     def local_assembly(params, w, kp, r0):
         def one(p_f, kp_f, r0_f):
-            r = kp_res(p_f, w, kp_f, r0_f)
-            jp = jax.jacfwd(lambda q: kp_res(q, w, kp_f, r0_f))(p_f)
-            jw = jax.jacfwd(lambda v: kp_res(p_f, v, kp_f, r0_f))(w)
-            blocks = r.reshape(-1, 2)
-            s = jnp.sum(blocks * blocks, axis=-1)
-            irls = jnp.sqrt(jnp.minimum(1.0, cfg.huber_delta /
-                                        jnp.sqrt(jnp.maximum(s, 1e-24))))
-            rw = jnp.repeat(irls, 2)
-            r, jp, jw = r * rw, jp * rw[:, None], jw * rw[:, None]
+            # Huber-corrected residual with the weight inside the trace so
+            # the Jacobian carries the loss curvature (solve/lm.py)
+            def corrected(q, v):
+                r = kp_res(q, v, kp_f, r0_f)
+                blocks = r.reshape(-1, 2)
+                s = jnp.sum(blocks * blocks, axis=-1)
+                hw = huber_correct_weight(s, cfg.huber_delta)
+                return (blocks * hw[:, None]).reshape(-1)
+
+            r = corrected(p_f, w)
+            jp = jax.jacfwd(corrected, argnums=0)(p_f, w)
+            jw = jax.jacfwd(corrected, argnums=1)(p_f, w)
             return jp.T @ jp, jp.T @ jw, jw.T @ jw, jp.T @ r, jw.T @ r
 
         return jax.vmap(one)(params, kp, r0)
 
-    def lm_spmd(params0, w0, kp, r0, pair_c):
+    def lm_spmd(params0, w0, kp, r0, pair_c, r0_init):
         def halo_next(x):
             return jax.lax.ppermute(x[0], axis, perm_bwd)
 
@@ -373,12 +380,19 @@ def build_sharded_lm_fitter(
                 b_pw = b_pw * m[None, :, None]
                 g_p = g_p * m[None, :]
 
-            damp_p = jnp.clip(jnp.diagonal(h_pp, axis1=1, axis2=2),
-                              cfg.diag_min, cfg.diag_max) / radius
-            h_damped = h_pp + jax.vmap(jnp.diag)(damp_p + cfg.diag_eps)
-            damp_w = jnp.clip(jnp.diagonal(c_ww),
-                              cfg.diag_min, cfg.diag_max) / radius
-            c_damped = c_ww + jnp.diag(damp_w + cfg.diag_eps)
+            diag_p = jnp.clip(jnp.diagonal(h_pp, axis1=1, axis2=2),
+                              cfg.diag_min, cfg.diag_max)
+            diag_w = jnp.clip(jnp.diagonal(c_ww), cfg.diag_min, cfg.diag_max)
+            if cfg.dogleg:
+                # lightly-regularized GN system; the dogleg combination
+                # below reaches the trust boundary (solve/multi_frame.py)
+                h_damped = h_pp + jax.vmap(jnp.diag)(
+                    1e-9 * diag_p + cfg.diag_eps)
+                c_damped = c_ww + jnp.diag(1e-9 * diag_w + cfg.diag_eps)
+            else:
+                h_damped = h_pp + jax.vmap(jnp.diag)(
+                    diag_p / radius + cfg.diag_eps)
+                c_damped = c_ww + jnp.diag(diag_w / radius + cfg.diag_eps)
 
             def matvec(blocks_p, blocks_w, v_p, v_w):
                 u = jnp.einsum("fab,fb->fa", blocks_p, v_p)
@@ -421,6 +435,37 @@ def build_sharded_lm_fitter(
                 0, cg_iters, cg_body,
                 (x_p, x_w, r_p, r_w, z_p, z_w, rho0))
 
+            if cfg.dogleg:
+                # Powell dogleg: GN point (the PCG solution) + Cauchy
+                # point, interpolated to the trust boundary — all norms
+                # and dots psum-reduced so every shard picks the same case
+                n_gn = jnp.sqrt(pdot(x_p, x_w, x_p, x_w))
+                hg_p, hg_w = matvec(h_pp, c_ww, g_p, g_w)
+                gg = pdot(g_p, g_w, g_p, g_w)
+                ghg = jnp.maximum(pdot(g_p, g_w, hg_p, hg_w), 1e-30)
+                alpha_c = gg / ghg
+                sd_p, sd_w = -alpha_c * g_p, -alpha_c * g_w
+                n_sd = alpha_c * jnp.sqrt(gg)
+                df_p, df_w = x_p - sd_p, x_w - sd_w
+                a = jnp.maximum(pdot(df_p, df_w, df_p, df_w), 1e-30)
+                b = 2.0 * pdot(sd_p, sd_w, df_p, df_w)
+                c = n_sd * n_sd - radius * radius
+                disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+                tau = jnp.clip((-b + jnp.sqrt(disc)) / (2.0 * a), 0.0, 1.0)
+                use_gn = n_gn <= radius
+                use_sd = jnp.logical_not(use_gn) & (n_sd >= radius)
+                sd_scale = radius / jnp.maximum(n_sd, 1e-30)
+
+                def pick(gn, sd, df):
+                    return jnp.where(use_gn, gn,
+                                     jnp.where(use_sd, sd_scale * sd,
+                                               sd + tau * df))
+                x_p = pick(x_p, sd_p, df_p)
+                x_w = pick(x_w, sd_w, df_w)
+                boundary = jnp.logical_not(use_gn)
+            else:
+                boundary = jnp.asarray(True)
+
             params_new = params + x_p
             if cfg.freeze_scale:
                 params_new = params_new.at[:, 0].set(params[:, 0])
@@ -438,17 +483,31 @@ def build_sharded_lm_fitter(
             model_decrease = -gd - 0.5 * dhd
             rho = (cost - cost_new) / jnp.maximum(model_decrease, 1e-30)
             valid = jnp.isfinite(cost_new) & (model_decrease > 0)
-            accept = valid & (rho > cfg.min_rel_decrease)
 
-            grow = radius / jnp.maximum(1.0 / 3.0,
-                                        1.0 - (2.0 * rho - 1.0) ** 3)
-            shrink = radius / dec_f
-            radius_new = jnp.clip(jnp.where(accept, grow, shrink),
-                                  1e-32, 1e16)
-            dec_new = jnp.where(accept, 2.0, dec_f * 2.0)
+            if cfg.dogleg:
+                accept = valid & (cost - cost_new > 0)
+                step_norm = jnp.sqrt(pdot(dp, x_w, dp, x_w))
+                radius_new = jnp.where(
+                    rho < 0.25, 0.25 * step_norm,
+                    jnp.where((rho > 0.75) & boundary, 2.0 * radius, radius))
+                radius_new = jnp.clip(radius_new, 1e-12, 1e10)
+                dec_new = dec_f
+            else:
+                accept = valid & (rho > cfg.min_rel_decrease)
+                grow = radius / jnp.maximum(1.0 / 3.0,
+                                            1.0 - (2.0 * rho - 1.0) ** 3)
+                shrink = radius / dec_f
+                radius_new = jnp.clip(jnp.where(accept, grow, shrink),
+                                      1e-32, 1e16)
+                dec_new = jnp.where(accept, 2.0, dec_f * 2.0)
 
             f_conv = jnp.abs(cost - cost_new) <= cfg.ftol * cost
             converged_new = converged | (accept & f_conv)
+            if cfg.dogleg:
+                # see solve/multi_frame.py: radius-collapse convergence
+                x_norm = jnp.sqrt(pdot(params, w, params, w))
+                converged_new = converged_new | (
+                    radius_new <= 1e-8 * (x_norm + 1e-8))
             do_move = accept & jnp.logical_not(converged)
 
             new_carry = (
@@ -464,7 +523,7 @@ def build_sharded_lm_fitter(
             return new_carry, new_carry[4]
 
         init = (params0, w0,
-                jnp.asarray(cfg.init_radius, dtype),
+                r0_init.astype(dtype),
                 jnp.asarray(2.0, dtype),
                 cost_fn(params0, w0),
                 jnp.asarray(False),
@@ -473,7 +532,7 @@ def build_sharded_lm_fitter(
         final, costs = jax.lax.scan(step, init, None, length=cfg.max_iters)
         return final + (costs,)
 
-    in_specs = (P(axis), P(), P(axis), P(axis), P(axis))
+    in_specs = (P(axis), P(), P(axis), P(axis), P(axis), P())
     out_specs = (P(axis), P(), P(), P(), P(), P(), P(), P(), P())
     spmd = shard_map(lm_spmd, mesh=mesh, in_specs=in_specs,
                      out_specs=out_specs, check_vma=False)
@@ -489,8 +548,13 @@ def build_sharded_lm_fitter(
         pair_c = jnp.concatenate(
             [frame_valid[:-1] * frame_valid[1:],
              jnp.zeros(1, dtype)]).astype(dtype)
+        # dogleg radius scales with the VALID frame count (padding must not
+        # perturb the trajectory — see solve/multi_frame.py)
+        n_valid = jnp.maximum(jnp.sum(frame_valid), 1.0)
+        r0_init = (cfg.dogleg_init_radius * jnp.sqrt(n_valid.astype(dtype))
+                   if cfg.dogleg else jnp.asarray(cfg.init_radius, dtype))
         outs = spmd(params0.astype(dtype), shape0.astype(dtype),
-                    kp.astype(dtype), r0.astype(dtype), pair_c)
+                    kp.astype(dtype), r0.astype(dtype), pair_c, r0_init)
         return MultiFrameResult(*outs)
 
     return fit

@@ -58,7 +58,7 @@ from smpltpu.constants import HUBER_DELTA, SCALE_MAX, SCALE_MIN
 from smpltpu.energy import Camera, SkeletonSpec, keypoint_residuals
 from smpltpu.energy.params import frame_param_layout
 from smpltpu.energy.temporal import temporal_mask
-from smpltpu.solve.lm import _huber_rho
+from smpltpu.solve.lm import _huber_rho, huber_correct_weight
 from smpltpu.solve.tridiag import block_tridiag_solve
 
 
@@ -75,6 +75,16 @@ class MultiFrameConfig(NamedTuple):
     diag_min: float = 1e-6
     diag_max: float = 1e32
     diag_eps: float = 1e-8   # tiny Tikhonov so empty-frame scale dims stay SPD
+    # Powell-dogleg trust region (default) instead of ceres-style
+    # lambda=1/radius damping: ONE lightly-regularized GN solve + the
+    # Cauchy point, interpolated to the trust boundary. Round-2 finding
+    # (see solve/lm.py exact_tr): damped steps chronically under-use the
+    # radius on cold inits and stall at non-stationary points — the
+    # parity-oracle certificate (scipy polish < 1%) only passes with a
+    # boundary-reaching step rule. Dogleg needs no lambda search, so the
+    # per-iteration cost is the same as damped.
+    dogleg: bool = True
+    dogleg_init_radius: float = 1.0   # per-frame scale; total = this*sqrt(F)
 
 
 class MultiFrameState(NamedTuple):
@@ -160,20 +170,20 @@ def build_multi_fitter(
         zer_w = jnp.zeros((p_dim_l, n_s), dtype=params.dtype)
 
         def one_frame(p_f, kp_f, r0_f):
-            # one linearize, then both Jacobians via batched JVP pushes —
-            # a single FK trace instead of three (value + two jacfwds)
-            r, f_jvp = jax.linearize(
-                lambda q, v: kp_res(q, v, kp_f, r0_f), p_f, w)
+            # one linearize of the Huber-CORRECTED residual (weight inside
+            # the trace so the Jacobian carries the loss curvature — see
+            # solve/lm.py module docstring), both Jacobians via batched
+            # JVP pushes: a single FK trace instead of three
+            def corrected(q, v):
+                r = kp_res(q, v, kp_f, r0_f)
+                blocks = r.reshape(-1, 2)
+                s = jnp.sum(blocks * blocks, axis=-1)
+                hw = huber_correct_weight(s, cfg.huber_delta)
+                return (blocks * hw[:, None]).reshape(-1)
+
+            r, f_jvp = jax.linearize(corrected, p_f, w)
             jp = jax.vmap(f_jvp)(eye_p, zer_w).T                 # (2K, P)
             jw = jax.vmap(f_jvp)(zer_p, eye_w).T                 # (2K, nS)
-            blocks = r.reshape(-1, 2)
-            s = jnp.sum(blocks * blocks, axis=-1)
-            irls = jnp.sqrt(jnp.minimum(1.0, cfg.huber_delta /
-                                        jnp.sqrt(jnp.maximum(s, 1e-24))))
-            row_w = jnp.repeat(irls, 2)
-            r = r * row_w
-            jp = jp * row_w[:, None]
-            jw = jw * row_w[:, None]
             return (jp.T @ jp, jp.T @ jw, jw.T @ jw,
                     jp.T @ r, jw.T @ r)
 
@@ -210,22 +220,74 @@ def build_multi_fitter(
         params, w = state.params, state.shape
         h_pp, off_scale, b_pw, c_ww, g_p, g_w = normal_eq(params, w, kp, r0, pair_w)
 
-        # LM damping on every diagonal
-        damp_p = jnp.clip(jnp.diagonal(h_pp, axis1=1, axis2=2),
-                          cfg.diag_min, cfg.diag_max) / state.radius
-        d_blocks = h_pp + jax.vmap(jnp.diag)(damp_p + cfg.diag_eps)
-        damp_w = jnp.clip(jnp.diagonal(c_ww), cfg.diag_min, cfg.diag_max) / state.radius
-        c_damped = c_ww + jnp.diag(damp_w + cfg.diag_eps)
+        def arrow_solve(d_blocks, c_reg):
+            """Solve the arrowhead system [T B; B^T C] d = -g:
+            T y = g_p / T Y = B (block-tridiag), then the nS x nS Schur."""
+            rhs = jnp.concatenate([g_p[:, :, None], b_pw], axis=-1)
+            sol = block_tridiag_solve(d_blocks, off_scale, tmask, rhs)
+            y = sol[:, :, 0]          # (F, P)   T^{-1} g_p
+            cap_y = sol[:, :, 1:]     # (F, P, nS) T^{-1} B
+            schur = c_reg - jnp.einsum("fps,fpt->st", b_pw, cap_y)
+            rhs_w = -g_w + jnp.einsum("fps,fp->s", b_pw, y)
+            dw = jnp.linalg.solve(schur, rhs_w)
+            dp = -y - jnp.einsum("fps,s->fp", cap_y, dw)
+            return dp, dw
 
-        # arrowhead solve: T y = g_p, T Y = B  (tridiag), then 10x10 Schur
-        rhs = jnp.concatenate([g_p[:, :, None], b_pw], axis=-1)  # (F,P,1+nS)
-        sol = block_tridiag_solve(d_blocks, off_scale, tmask, rhs)
-        y = sol[:, :, 0]          # (F, P)   T^{-1} g_p
-        cap_y = sol[:, :, 1:]     # (F, P, nS) T^{-1} B
-        schur = c_damped - jnp.einsum("fps,fpt->st", b_pw, cap_y)
-        rhs_w = -g_w + jnp.einsum("fps,fp->s", b_pw, y)
-        dw = jnp.linalg.solve(schur, rhs_w)
-        dp = -y - jnp.einsum("fps,s->fp", cap_y, dw)
+        def hmul(v_p, v_w):
+            """Undamped Hessian application (blockwise)."""
+            u = jnp.einsum("fab,fb->fa", h_pp, v_p)
+            u = u.at[:-1].add(off_scale[:, None] * tmask * v_p[1:])
+            u = u.at[1:].add(off_scale[:, None] * tmask * v_p[:-1])
+            u = u + jnp.einsum("fps,s->fp", b_pw, v_w)
+            u_w = jnp.einsum("fps,fp->s", b_pw, v_p) + c_ww @ v_w
+            return u, u_w
+
+        diag_p = jnp.clip(jnp.diagonal(h_pp, axis1=1, axis2=2),
+                          cfg.diag_min, cfg.diag_max)
+        diag_w = jnp.clip(jnp.diagonal(c_ww), cfg.diag_min, cfg.diag_max)
+
+        if cfg.dogleg:
+            # Gauss-Newton point (lightly regularized) + Cauchy point,
+            # dogleg-interpolated to the trust boundary
+            d_blocks = h_pp + jax.vmap(jnp.diag)(1e-9 * diag_p + cfg.diag_eps)
+            c_reg = c_ww + jnp.diag(1e-9 * diag_w + cfg.diag_eps)
+            dp_gn, dw_gn = arrow_solve(d_blocks, c_reg)
+            n_gn = jnp.sqrt(jnp.sum(dp_gn * dp_gn) + dw_gn @ dw_gn)
+
+            hg_p, hg_w = hmul(g_p, g_w)
+            gg = jnp.sum(g_p * g_p) + g_w @ g_w
+            ghg = jnp.maximum(jnp.sum(g_p * hg_p) + g_w @ hg_w, 1e-30)
+            alpha = gg / ghg
+            sd_p, sd_w = -alpha * g_p, -alpha * g_w
+            n_sd = jnp.sqrt(alpha * alpha * gg)
+
+            radius = state.radius
+            # case C tau: ||sd + tau (gn - sd)||^2 = radius^2
+            df_p, df_w = dp_gn - sd_p, dw_gn - sd_w
+            a = jnp.maximum(jnp.sum(df_p * df_p) + df_w @ df_w, 1e-30)
+            b = 2.0 * (jnp.sum(sd_p * df_p) + sd_w @ df_w)
+            c = (n_sd * n_sd) - radius * radius
+            disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+            tau = jnp.clip((-b + jnp.sqrt(disc)) / (2.0 * a), 0.0, 1.0)
+
+            use_gn = n_gn <= radius
+            use_sd = jnp.logical_not(use_gn) & (n_sd >= radius)
+            sd_scale = radius / jnp.maximum(n_sd, 1e-30)
+
+            def pick(gn, sd, df):
+                return jnp.where(use_gn, gn,
+                                 jnp.where(use_sd, sd_scale * sd,
+                                           sd + tau * df))
+            dp = pick(dp_gn, sd_p, df_p)
+            dw = pick(dw_gn, sd_w, df_w)
+            boundary = jnp.logical_not(use_gn)
+        else:
+            # ceres-style LM damping on every diagonal
+            d_blocks = h_pp + jax.vmap(jnp.diag)(
+                diag_p / state.radius + cfg.diag_eps)
+            c_reg = c_ww + jnp.diag(diag_w / state.radius + cfg.diag_eps)
+            dp, dw = arrow_solve(d_blocks, c_reg)
+            boundary = jnp.asarray(True)
 
         params_new = params + dp
         if cfg.freeze_scale:
@@ -237,27 +299,39 @@ def build_multi_fitter(
         w_new = w + dw
         cost_new = cost_fn(params_new, w_new, kp, r0, pair_w)
 
-        # model decrease from the undamped quadratic:
-        # -g.d - 0.5 d^T H d, with H d assembled blockwise
-        hd = jnp.einsum("fab,fb->fa", h_pp, dp)
-        hd = hd.at[:-1].add(off_scale[:, None] * tmask * dp[1:])
-        hd = hd.at[1:].add(off_scale[:, None] * tmask * dp[:-1])
-        hd = hd + jnp.einsum("fps,s->fp", b_pw, dw)
-        hd_w = jnp.einsum("fps,fp->s", b_pw, dp) + c_ww @ dw
+        # model decrease from the undamped quadratic
+        hd, hd_w = hmul(dp, dw)
         gd = jnp.sum(g_p * dp) + g_w @ dw
         dhd = jnp.sum(hd * dp) + hd_w @ dw
         model_decrease = -gd - 0.5 * dhd
         rho = (state.cost - cost_new) / jnp.maximum(model_decrease, 1e-30)
         valid = jnp.isfinite(cost_new) & (model_decrease > 0)
-        accept = valid & (rho > cfg.min_rel_decrease)
 
-        grow = state.radius / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-        shrink = state.radius / state.decrease_factor
-        radius = jnp.clip(jnp.where(accept, grow, shrink), 1e-32, 1e16)
-        decrease_factor = jnp.where(accept, 2.0, state.decrease_factor * 2.0)
+        if cfg.dogleg:
+            accept = valid & (state.cost - cost_new > 0)
+            step_norm = jnp.sqrt(jnp.sum(dp * dp) + dw @ dw)
+            radius = jnp.where(
+                rho < 0.25, 0.25 * step_norm,
+                jnp.where((rho > 0.75) & boundary, 2.0 * state.radius,
+                          state.radius))
+            radius = jnp.clip(radius, 1e-12, 1e10)
+            decrease_factor = state.decrease_factor
+        else:
+            accept = valid & (rho > cfg.min_rel_decrease)
+            grow = state.radius / jnp.maximum(
+                1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            shrink = state.radius / state.decrease_factor
+            radius = jnp.clip(jnp.where(accept, grow, shrink), 1e-32, 1e16)
+            decrease_factor = jnp.where(accept, 2.0,
+                                        state.decrease_factor * 2.0)
 
         f_conv = jnp.abs(state.cost - cost_new) <= cfg.ftol * state.cost
         converged = state.converged | (accept & f_conv)
+        if cfg.dogleg:
+            # accept-any-decrease rejects every trial AT an optimum — also
+            # converge when the radius collapses to parameter tolerance
+            x_norm = jnp.sqrt(jnp.sum(params * params) + w @ w)
+            converged = converged | (radius <= 1e-8 * (x_norm + 1e-8))
         do_move = accept & jnp.logical_not(state.converged)
 
         new_state = MultiFrameState(
@@ -278,10 +352,16 @@ def build_multi_fitter(
         if frame_valid is None:
             frame_valid = jnp.ones(f_dim, dtype)
         pair_w = frame_valid[:-1] * frame_valid[1:]
+        # dogleg radius scales with the VALID frame count so padded and
+        # unpadded solves of the same real frames follow identical
+        # trajectories (tests/test_multi_frame.py::test_padding_equivalence)
+        n_valid = jnp.maximum(jnp.sum(frame_valid), 1.0)
+        r0_init = (cfg.dogleg_init_radius * jnp.sqrt(n_valid.astype(dtype))
+                   if cfg.dogleg else jnp.asarray(cfg.init_radius, dtype))
         init = MultiFrameState(
             params=params0.astype(dtype),
             shape=shape0.astype(dtype),
-            radius=jnp.asarray(cfg.init_radius, dtype),
+            radius=r0_init.astype(dtype),
             decrease_factor=jnp.asarray(2.0, dtype),
             cost=cost_fn(params0.astype(dtype), shape0.astype(dtype), kp, r0, pair_w),
             converged=jnp.asarray(False),

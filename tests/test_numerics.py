@@ -60,7 +60,10 @@ def test_f32_matches_f64_within_budget(small_model_dict, rng):
             for g in gts])
         kps[:, :, 1:3] += rng_local.normal(size=(f, 17, 2))  # 1px noise
         x0 = jnp.tile(init_frame_params(dtype=dtype), (f, 1))
-        state = fit_frames(prob, x0, jnp.asarray(kps, dtype), max_iters=100)
+        # 200 iterations: the budget compares CONVERGED optima (at 100 the
+        # corrected-residual LM is still descending and the two precisions'
+        # trajectories differ more than the converged optima do)
+        state = fit_frames(prob, x0, jnp.asarray(kps, dtype), max_iters=200)
         errs = []
         for i in range(f):
             uv = np.asarray(project(skeleton_joints_cam(

@@ -78,8 +78,12 @@ def test_gn_step_reduces_cost(par_rig, rng):
     cfg = MultiFrameConfig(beta_pose=0.5, beta_shape=50.0, lambda_temporal=0.5,
                            max_iters=1)
     mesh = frames_mesh(4)
+    # damping 0.3: heavy enough that iterating this no-acceptance one-step
+    # API is a stable contraction on this rig (light damping oscillates
+    # from a cold init — the production minimizer with a real trust region
+    # is build_sharded_lm_fitter, tested below)
     step = build_sharded_gn_step(mesh, spec, cam, cfg, 10, cg_iters=100,
-                                 damping=1e-4, dtype=jnp.float64)
+                                 damping=0.3, dtype=jnp.float64)
     params = shard_frames(mesh, jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1)))
     w = jnp.zeros(10, jnp.float64)
     kp_d = shard_frames(mesh, jnp.asarray(kp))
