@@ -17,8 +17,11 @@ TPU-first deviation (results-identical): the reference loops frames
 serially, rebuilding a Ceres problem per frame (:192-246); here ALL frames
 fit in ONE batched vmapped LM solve — per-frame problems are independent,
 so the optima are the same; the logged time_ms is each frame's equal share
-of the batched solve. Framework extension: fitted parameters are saved to
-out_dir/params_single.npz.
+of the batched solve. Framework extensions: fitted parameters are saved to
+out_dir/params_single.npz, and --multi-start fits a data-driven init plus
+root-yaw hypotheses per frame in one bigger batch and keeps each frame's
+best (solve/init.py — the reference's blind t=(0,0,3) init is a basin
+lottery on real data).
 """
 
 from __future__ import annotations
@@ -65,7 +68,7 @@ def parse_args(argv):
         "img_folder": argv[2], "out_dir": argv[3],
         "max_iters": 100, "beta_pose": 20.0, "beta_shape": 30.0,
         "opt_shape": False, "use_gmm": False, "pose_prior": None,
-        "jax_render": False,
+        "jax_render": False, "multi_start": False, "freeze_scale": False,
     }
     seen_numeric = 0
     rest = list(argv[4:])
@@ -79,6 +82,10 @@ def parse_args(argv):
             opts["pose_prior"] = rest.pop(0)
         elif a == "--jax-render":  # on-device z-buffer renderer
             opts["jax_render"] = True
+        elif a == "--multi-start":  # data-driven init + yaw hypotheses
+            opts["multi_start"] = True
+        elif a == "--freeze-scale":  # gauge fix: see solve/single_frame.py
+            opts["freeze_scale"] = True
         elif _is_number(a):
             if seen_numeric == 0:
                 opts["max_iters"] = max(1, int(float(a)))
@@ -125,18 +132,35 @@ def main(argv=None) -> int:
     prob = make_single_frame_problem(
         model, init_root_rotation(), cam,
         beta_pose=opts["beta_pose"], beta_shape=opts["beta_shape"],
-        opt_shape=opts["opt_shape"], gmm_dict=gmm)
+        opt_shape=opts["opt_shape"], gmm_dict=gmm,
+        freeze_scale=opts["freeze_scale"])
 
     kp = ds["kp_batch"]
     n_frames = kp.shape[0]
     dtype = jnp.float32
-    x0_one = init_frame_params(dtype=dtype)
-    if opts["opt_shape"]:
-        x0_one = jnp.concatenate([x0_one, jnp.zeros(model.num_shapes, dtype)])
-    x0 = jnp.tile(x0_one, (n_frames, 1))
+    if opts["multi_start"]:
+        # framework extension (NOT reference behavior): data-driven init
+        # (depth/translation from the detections) x root-yaw hypotheses,
+        # all starts fitted as one bigger batch, lowest-cost start kept
+        # per frame — the cold blind init t=(0,0,3) is a basin lottery on
+        # real data (see solve/init.py)
+        from smpltpu.solve import make_start_set
+        n_extra = model.num_shapes if opts["opt_shape"] else 0
+        starts = make_start_set(kp, prob.spec, cam, n_extra_dims=n_extra)
+        s_dim = starts.shape[1]
+        x0 = jnp.asarray(starts.reshape(n_frames * s_dim, -1), dtype)
+        kp_fit = np.repeat(kp, s_dim, axis=0)
+    else:
+        s_dim = 1
+        x0_one = init_frame_params(dtype=dtype)
+        if opts["opt_shape"]:
+            x0_one = jnp.concatenate([x0_one,
+                                      jnp.zeros(model.num_shapes, dtype)])
+        x0 = jnp.tile(x0_one, (n_frames, 1))
+        kp_fit = kp
 
     fitter = build_fitter(prob, max_iters=opts["max_iters"], dtype=dtype)
-    kp_dev = jnp.asarray(kp, dtype)
+    kp_dev = jnp.asarray(kp_fit, dtype)
     timer = StageTimer()
     state = fitter(x0, kp_dev)
     state.x.block_until_ready()
@@ -148,13 +172,27 @@ def main(argv=None) -> int:
     state = fitter(x0, kp_dev)
     state.x.block_until_ready()
     total_ms = timer.ms()
-    print(f"[INFO] batched solve: {total_ms:.1f} ms for {n_frames} frames "
+    print(f"[INFO] batched solve: {total_ms:.1f} ms for {n_frames} frames"
+          f"{f' x {s_dim} starts' if s_dim > 1 else ''} "
           f"(+{first_ms - total_ms:.0f} ms one-off compile)")
     per_frame_ms = total_ms / max(n_frames, 1)
 
     r0 = np.asarray(init_root_rotation())
-    params = np.asarray(state.x[:, :N_FRAME_PARAMS])
-    shapes = (np.asarray(state.x[:, N_FRAME_PARAMS:]) if opts["opt_shape"]
+    if s_dim > 1:
+        from smpltpu.solve import best_of_starts
+        best_x, _, _ = best_of_starts(state, n_frames, s_dim)
+        x_final = best_x
+        conv = np.asarray(state.converged).reshape(n_frames, s_dim)[:, 0]
+        cost = np.asarray(state.cost).reshape(n_frames, s_dim).min(axis=1)
+        hist_all = np.asarray(state.cost_history).reshape(n_frames, s_dim, -1)
+        hist_src = hist_all.min(axis=1)
+    else:
+        x_final = np.asarray(state.x)
+        conv = np.asarray(state.converged)
+        cost = np.asarray(state.cost)
+        hist_src = np.asarray(state.cost_history)
+    params = x_final[:, :N_FRAME_PARAMS]
+    shapes = (x_final[:, N_FRAME_PARAMS:] if opts["opt_shape"]
               else np.zeros((n_frames, model.num_shapes)))
 
     errors, verts = batched_frame_eval(
@@ -184,11 +222,10 @@ def main(argv=None) -> int:
             use_jax=opts["jax_render"], img=img)
     append_log(opts["out_dir"], rows)
     save_params(opts["out_dir"], "params_single.npz", params, shapes,
-                extra={"converged": np.asarray(state.converged),
-                       "cost": np.asarray(state.cost)})
+                extra={"converged": conv, "cost": cost})
     # per-iteration loss curve (mean over valid frames) — the file
     # scripts/loss_curve_plot.py expects but the reference never writes
-    hist = np.asarray(state.cost_history)[valid_frames].mean(axis=0)
+    hist = hist_src[valid_frames].mean(axis=0)
     with open(os.path.join(opts["out_dir"], "loss_curve.txt"), "w") as f:
         f.write("iteration,loss\n")
         for it, c in enumerate(hist):

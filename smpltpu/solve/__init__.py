@@ -2,6 +2,11 @@
 include/Sim3BA.h:348-683 and include/MultiFrameBA.h:33-177), rebuilt as a
 batched on-device Levenberg-Marquardt engine."""
 
+from smpltpu.solve.init import (  # noqa: F401
+    best_of_starts,
+    estimate_frame_init,
+    make_start_set,
+)
 from smpltpu.solve.lm import LMConfig, LMState, lm_solve  # noqa: F401
 from smpltpu.solve.multi_frame import (  # noqa: F401
     MultiFrameConfig,

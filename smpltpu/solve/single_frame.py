@@ -58,6 +58,13 @@ class SingleFrameProblem(NamedTuple):
     opt_shape: bool
     n_joints: int
     n_shapes: int
+    # framework extension (NOT reference behavior, which optimizes scale
+    # freely, Sim3BA.h:612-614): hold scale at its init. The reference's
+    # OWN evaluation and render write-back DISCARD the fitted scale
+    # (Utils.h:102-116 projects avatar.jointPos, which has no scale), so
+    # free-scale optima degrade log.csv/renders on both sides; fixing the
+    # gauge at scale=1 keeps the solve consistent with those consumers.
+    freeze_scale: bool = False
 
 
 def make_single_frame_problem(
@@ -68,6 +75,7 @@ def make_single_frame_problem(
     beta_shape: float = 0.0,
     opt_shape: bool = False,
     gmm_dict: Optional[dict] = None,
+    freeze_scale: bool = False,
     dtype=jnp.float32,
 ) -> SingleFrameProblem:
     from smpltpu.energy import make_skeleton_spec
@@ -81,6 +89,7 @@ def make_single_frame_problem(
         beta_pose=float(beta_pose), beta_shape=float(beta_shape),
         opt_shape=bool(opt_shape),
         n_joints=len(spec.parents), n_shapes=model.num_shapes,
+        freeze_scale=bool(freeze_scale),
     )
 
 
@@ -123,6 +132,8 @@ def _bounds_and_frozen(prob: SingleFrameProblem, dtype):
     upper = np.full(n, np.inf)
     lower[0], upper[0] = SCALE_MIN, SCALE_MAX
     frozen = np.zeros(n, dtype=bool)
+    if prob.freeze_scale:
+        frozen[0] = True
     if not prob.opt_shape:
         # pose-only path freezes unobserved joints (Sim3BA.h:607-611)
         for j in FIXED_JOINTS_POSE_ONLY:

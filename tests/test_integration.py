@@ -42,10 +42,26 @@ def test_single_pipeline_on_video1_fixture(tmp_path):
     assert len(logged) == 33
     assert set(range(0, 4)).isdisjoint(logged)
     errs = np.array([float(r.split(",")[1]) for r in rows])
-    # at 36x64 px the fitted error must land in a sane band; this value is
-    # a regression pin (seed-0 model, 60 iters): observed ~2-6 px
-    assert errs.mean() < 12.0, errs.mean()
+    # Reference-parity mode optimizes scale freely (Sim3BA.h:612-614) while
+    # the eval/render write-back DISCARDS scale (Utils.h:102-116 pinned
+    # quirk), so frames whose fit uses scale != 1 log inflated errors —
+    # on the reference exactly as here. Pin a loose band on the quirk
+    # metric; the true-objective quality is pinned by the tight run below.
+    assert errs.mean() < 30.0, errs.mean()
     assert np.isfinite(errs).all()
+
+    # gauge-consistent mode (--freeze-scale: scale pinned to the value the
+    # eval convention assumes) + multi-start: the real quality pin
+    out2 = str(tmp_path / "out2")
+    rc = single_cli.main([model_path, VIDEO1_KPS, str(img_dir), out2,
+                          "60", "2.0", "0.0", "--freeze-scale",
+                          "--multi-start"])
+    assert rc == 0
+    rows2 = open(os.path.join(out2, "log.csv")).read().splitlines()[1:]
+    errs2 = np.array([float(r.split(",")[1]) for r in rows2])
+    assert len(rows2) == 33
+    # observed ~0.8 px mean at 36x64 with the round-2 exact-TR solver
+    assert errs2.mean() < 3.0, errs2.mean()
 
 
 def test_bench_smoke():
