@@ -76,6 +76,7 @@ def parse_args(argv):
         "batched_windows": False, "pose_prior": None,
         "resume": False, "profile": False, "metrics_jsonl": None,
         "init_from_anchors": False, "jax_render": False,
+        "mesh": 0,  # 0 = auto (all visible devices), 1 = single-chip
     }
     positional = ["max_iters_s1", "max_iters_s2", "skip", "wsize", "overlap",
                   "beta_pose", "beta_shape", "lambda_t"]
@@ -98,6 +99,8 @@ def parse_args(argv):
             opts["metrics_jsonl"] = rest.pop(0)
         elif a == "--s2-iters" and rest:
             opts["s2_iters"] = max(1, int(float(rest.pop(0))))
+        elif a == "--mesh" and rest:
+            opts["mesh"] = max(0, int(float(rest.pop(0))))
         elif a == "--pose-prior" and rest:
             opts["pose_prior"] = rest.pop(0)
         elif pos_idx < len(positional):
@@ -144,6 +147,17 @@ def main(argv=None) -> int:
           f"  lambda_temp={opts['lambda_t']}")
 
     dtype = jnp.float32
+    # device mesh (VERDICT round-1 item 3: production integration of the
+    # parallel layer): --mesh 0 (auto) uses every visible device; stage 1
+    # runs the sharded LM, stage-2 --batched-windows shards the window axis
+    mesh_n = opts["mesh"] if opts["mesh"] > 0 else len(jax.devices())
+    mesh = None
+    if mesh_n > 1:
+        from smpltpu.parallel import frames_mesh
+        mesh = frames_mesh(mesh_n)
+    print(f"[INFO] devices visible: {len(jax.devices())}  mesh size: "
+          f"{mesh_n if mesh is not None else 1}")
+
     # Reference parity: OptimizeMultiFrame receives a null jointShapeReg
     # when betaShape == 0 (MultiFrameBA.h:88), leaving shape inert at zero
     # in stage 1 — so stage 1's spec drops the shape dependence there.
@@ -195,13 +209,37 @@ def main(argv=None) -> int:
                                 beta_shape=opts["beta_shape"],
                                 lambda_temporal=opts["lambda_t"],
                                 max_iters=opts["max_iters_s1"])
-        fit1 = build_multi_fitter(spec, cam, cfg1, model.num_shapes, dtype=dtype)
-        a_p, a_w = jnp.asarray(poses[anchor_idx]), jnp.asarray(shape_w)
-        a_k, a_r = jnp.asarray(kp[anchor_idx]), jnp.asarray(r0[anchor_idx])
-        fit1(a_p, a_w, a_k, a_r).params.block_until_ready()  # compile warm-up
+        n_a = len(anchor_idx)
+        if mesh is not None:
+            # frames sharded over the mesh: pad the anchor batch to a
+            # multiple of the mesh size with frame_valid=0 rows
+            from smpltpu.parallel import build_sharded_lm_fitter, shard_frames
+            pad = (-n_a) % mesh_n
+            a_p = np.tile(np.asarray(init_frame_params(dtype=dtype)),
+                          (n_a + pad, 1))
+            a_p[:n_a] = poses[anchor_idx]
+            a_k = np.zeros((n_a + pad,) + kp.shape[1:], kp.dtype)
+            a_k[:n_a] = kp[anchor_idx]
+            a_r = np.tile(np.eye(3, dtype=np.float32), (n_a + pad, 1, 1))
+            a_r[:n_a] = r0[anchor_idx]
+            a_v = np.zeros(n_a + pad, np.float32)
+            a_v[:n_a] = 1.0
+            fit1 = build_sharded_lm_fitter(mesh, spec, cam, cfg1,
+                                           model.num_shapes, dtype=dtype)
+            args1 = (shard_frames(mesh, jnp.asarray(a_p)),
+                     jnp.asarray(shape_w),
+                     shard_frames(mesh, jnp.asarray(a_k)),
+                     shard_frames(mesh, jnp.asarray(a_r)),
+                     shard_frames(mesh, jnp.asarray(a_v)))
+        else:
+            fit1 = build_multi_fitter(spec, cam, cfg1, model.num_shapes,
+                                      dtype=dtype)
+            args1 = (jnp.asarray(poses[anchor_idx]), jnp.asarray(shape_w),
+                     jnp.asarray(kp[anchor_idx]), jnp.asarray(r0[anchor_idx]))
+        fit1(*args1).params.block_until_ready()  # compile warm-up
         t1 = StageTimer()
         with profile_trace(profile_dir):
-            st1 = fit1(a_p, a_w, a_k, a_r)
+            st1 = fit1(*args1)
             st1.params.block_until_ready()
         ms_anchor = t1.ms()
         print(f"[INFO] stage-1 done  ({'success' if bool(jnp.isfinite(st1.cost)) else 'fail'})"
@@ -210,7 +248,7 @@ def main(argv=None) -> int:
         metrics.log("stage1", ms=ms_anchor, cost=float(st1.cost),
                     accepted=int(st1.n_accepted), anchors=len(anchor_idx))
 
-        anchor_params = np.asarray(st1.params)
+        anchor_params = np.asarray(st1.params)[:n_a]
         shape_w = np.asarray(st1.shape)
         loss_curve = np.asarray(st1.cost_history)
         anchor_errs, _ = batched_frame_eval(
@@ -311,15 +349,30 @@ def main(argv=None) -> int:
         starts = [s for s in starts if s >= resume_start]
     if opts["batched_windows"]:
         packs = [window_inputs(s) for s in starts]
+        n_real = len(packs)
+        pad_w = (-n_real) % mesh_n if mesh is not None else 0
+        if pad_w:  # dummy windows (all-invalid) to fill the mesh
+            dummy = (0, jnp.tile(jnp.asarray(default_pose), (wsize, 1)),
+                     jnp.zeros_like(packs[0][2]),
+                     jnp.tile(jnp.asarray(eye3), (wsize, 1, 1)),
+                     jnp.zeros(wsize, jnp.float32))
+            packs = packs + [dummy] * pad_w
         bp = jnp.stack([p[1] for p in packs])
         bk = jnp.stack([p[2] for p in packs])
         br = jnp.stack([p[3] for p in packs])
         bv = jnp.stack([p[4] for p in packs])
-        bw = jnp.tile(jnp.asarray(shape_w), (len(starts), 1))
+        bw = jnp.tile(jnp.asarray(shape_w), (len(packs), 1))
         t2 = StageTimer()
         with profile_trace(profile_dir):
-            st2 = jax.jit(jax.vmap(lambda a, b, c, d, e: fit2(a, b, c, d, e)))(
-                bp, bw, bk, br, bv)
+            if mesh is not None:
+                # DP over the window axis across the mesh (each device
+                # solves its slice with the single-chip fitter)
+                from smpltpu.parallel import sharded_window_fit
+                st2 = sharded_window_fit(mesh, fit2, bp, bw, bk, br, bv)
+            else:
+                st2 = jax.jit(jax.vmap(
+                    lambda a, b, c, d, e: fit2(a, b, c, d, e)))(
+                        bp, bw, bk, br, bv)
             st2.params.block_until_ready()
         ms_total = t2.ms()
         for wi, s in enumerate(starts):

@@ -166,6 +166,27 @@ def test_multi_cli_batched_windows_matches_outputs(tmp_path, rng):
     assert abs(np.mean(e_seq) - np.mean(e_bat)) < 10.0
 
 
+def test_multi_cli_mesh_matches_single_chip(tmp_path, rng):
+    """VERDICT round-1 item 3 'done' criterion: the CLI end-to-end on the
+    8-virtual-device CPU mesh (--mesh 8: sharded-LM stage 1 + window-DP
+    stage 2) must produce the same quality as --mesh 1 single-chip."""
+    model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng, empty_frames=())
+    outs = {}
+    for tag, n in (("m1", "1"), ("m8", "8")):
+        out = str(tmp_path / f"out_{tag}")
+        rc = multi_cli.main([model_path, kp_dir, img_dir, out,
+                             "30", "30", "3", "4", "1", "2.0", "25.0", "1.0",
+                             "--s2-iters", "20", "--batched-windows",
+                             "--mesh", n])
+        assert rc == 0
+        log = open(os.path.join(out, "log.csv")).read().splitlines()
+        outs[tag] = [float(r.split(",")[1]) for r in log[1:]]
+        assert os.path.isfile(os.path.join(out, "params_multi.npz"))
+    assert len(outs["m1"]) == len(outs["m8"])
+    # same solves modulo reduction order: per-frame errors must agree
+    np.testing.assert_allclose(outs["m1"], outs["m8"], rtol=0.05, atol=0.5)
+
+
 def test_multi_cli_count_mismatch(tmp_path, rng):
     model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng)
     os.remove(os.path.join(img_dir, "frame_0006.png"))
