@@ -104,17 +104,42 @@ def make_synthetic_model(
         weights[v, p] += 0.2
     weights /= weights.sum(axis=1, keepdims=True)
 
-    # Faces: random triangles over verts owned by the same joint so they are
-    # spatially local (enough for renderer tests).
+    # Faces: each vertex triangulated with its nearest neighbors so the
+    # mesh has LOCAL connectivity like a real SMPL surface (round 1 used
+    # random vertex triples, whose body-spanning sliver triangles are a
+    # pathological and unrepresentative rasterizer workload — every face
+    # as large as the whole body).
     n_faces = min(SMPL_NUM_FACES, max(4, 2 * n_verts - 4))
-    faces = rng.integers(0, n_verts, size=(n_faces, 3)).astype(np.int32)
-    # avoid degenerate (repeated-index) triangles
-    bad = (faces[:, 0] == faces[:, 1]) | (faces[:, 1] == faces[:, 2]) | (faces[:, 0] == faces[:, 2])
-    faces[bad] = np.stack([
-        np.arange(bad.sum()) % n_verts,
-        (np.arange(bad.sum()) + 1) % n_verts,
-        (np.arange(bad.sum()) + 2) % n_verts,
-    ], axis=1)
+    try:
+        from scipy.spatial import cKDTree
+        k = min(8, n_verts)
+        _, nn = cKDTree(v_template).query(v_template, k=k)
+        nn = np.atleast_2d(nn)
+        tris = []
+        for i in range(n_verts):
+            a = int(nn[i, 1]) if k >= 2 else i
+            # among the remaining neighbors pick the two giving the
+            # FATTEST triangles (largest distance from the i-a line):
+            # pure nearest-neighbor triples of random points are
+            # degenerate slivers, which no rasterizer covers stably
+            e = v_template[a] - v_template[i]
+            e = e / (np.linalg.norm(e) + 1e-12)
+            best = sorted(
+                (int(nn[i, c]) for c in range(2, k)),
+                key=lambda j: -np.linalg.norm(
+                    np.cross(e, v_template[j] - v_template[i])))
+            if best:
+                tris.append((i, a, best[0]))
+            if len(best) > 1:
+                tris.append((i, best[0], best[1]))
+        faces = np.asarray(tris, np.int32)[:n_faces]
+    except Exception:  # scipy absent: fall back to index-local triples
+        idx = np.arange(n_faces)
+        faces = np.stack([idx % n_verts, (idx + 1) % n_verts,
+                          (idx + 2) % n_verts], axis=1).astype(np.int32)
+    if faces.shape[0] < n_faces:  # pad by repeating (harmless for tests)
+        reps = -(-n_faces // max(faces.shape[0], 1))
+        faces = np.tile(faces, (reps, 1))[:n_faces]
 
     joint_shape_reg = np.einsum("jv,vxs->jxs", j_reg, shapedirs).reshape(3 * n_j, n_shapes)
 

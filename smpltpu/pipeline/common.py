@@ -131,10 +131,19 @@ def render_overlay_image(model: SMPLModel, verts_cam: np.ndarray,
     if img is None:
         return False
     if use_jax:
-        from smpltpu.render.jax_raster import render_overlay_jax
-        img = render_overlay_jax(
-            verts_cam, model.faces, img,
-            float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
+        # prefer the tile-binned Pallas kernel (26x the scatter-min
+        # z-buffer on TPU, pixel-identical); fall back to the scatter-min
+        # rasterizer if the kernel path is unavailable
+        try:
+            from smpltpu.render.pallas_raster import render_overlay_tiled
+            img = render_overlay_tiled(
+                verts_cam, model.faces, img,
+                float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
+        except Exception:
+            from smpltpu.render.jax_raster import render_overlay_jax
+            img = render_overlay_jax(
+                verts_cam, model.faces, img,
+                float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
     else:
         render_mesh_overlay(
             verts_cam, model.faces, img,

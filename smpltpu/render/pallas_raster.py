@@ -2,28 +2,36 @@
 
 Replaces the scatter-min z-buffer (render/jax_raster.py, ~50 ms/frame at
 480x270 — TPU scatters are slow, ROADMAP round-1 perf row) with a
-scatter-FREE two-phase design shaped for the hardware:
+scatter-free two-phase design shaped for the hardware:
 
   phase 1 (pure JAX, vectorized): per-face setup — projection, backface
      cull, flat shade, packed (depth<<8|gray) key (IDENTICAL semantics to
      jax_raster.rasterize_zbuffer, itself parity-tested against the host
      painter renderer of RenderSMPLMesh.h) — plus SORT-BASED BINNING:
-     each face emits (tile_id, face_id) entries for the screen tiles its
-     bbox touches; one lax.sort groups them; ranks within each tile give
-     a fixed-capacity (n_tiles, cap) bin table. No scatters of fragments,
-     only one sort of ~8F small integers.
+     each face emits (tile_id << 18 | face_id) entries for the screen
+     tiles its bbox touches, ONE single-key jnp.sort groups them into
+     ragged per-tile segments, and searchsorted gives each tile's
+     [first[t], first[t+1]) range. No fixed-capacity bin table, no
+     scatters, no sentinel-padded gathers — the per-entry edge data is
+     gathered once in sorted order (every byte useful).
 
-  phase 2 (Pallas kernel, grid = tile grid): each (8, 128)-pixel tile
-     walks its binned faces in chunks; per chunk the three edge functions
-     for ALL 1024 pixels are THREE (1024,3)x(3,chunk) MXU matmuls, the
-     inside test and key-select are VPU ops, and the running z-buffer is
-     a (1024,) VMEM scratch min — the depth test never leaves VMEM.
+  phase 2 (Pallas kernel, grid = (tiles, chunks)): the scalar-prefetched
+     segment offsets drive the BlockSpec index_map, so each (8, 128)-pixel
+     tile streams exactly the CHUNK-sized blocks overlapping its own
+     segment (Pallas skips re-fetching repeated blocks, so empty tiles
+     cost nothing). Per chunk the three edge functions for all 1024
+     pixels are three (1024,3)x(3,CHUNK) MXU matmuls (precision HIGHEST —
+     bf16 passes cannot resolve sub-pixel edges from ~1e3-scale
+     coordinates), the inside test and key-select are VPU ops, and the
+     running z-buffer lives in a VMEM scratch that persists across the
+     tile's sequential grid steps.
 
-Triangles spanning more than SPAN_Y x SPAN_X tiles (32 px tall / 256 px
-wide) are clipped to that many tiles — same truncation class as
-jax_raster's fixed patch window; at SMPL mesh density a triangle spans a
-few pixels. Faces beyond a tile's capacity are dropped (capacity is
-auto-sized from the binning counts, pow2-bucketed to bound recompiles).
+Faces whose bbox spans more than a SPAN x SPAN tile window (16 px tall x
+256 px wide — rare at SMPL mesh density) go to a small global list that
+every tile also walks (their edge tests mask them outside their bbox),
+so nothing is truncated. Per-tile segments beyond the static chunk
+budget are dropped (the budget is auto-sized by pick_cap, pow2-bucketed
+to bound recompiles).
 """
 
 from __future__ import annotations
@@ -38,11 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 8
 TILE_W = 128
-SPAN_Y = 4      # default max tile rows a face may touch (32 px tall)
-SPAN_X = 2      # default max tile cols a face may touch (256 px wide)
-SENTINEL = 0x7FFFFFFF  # int32 max: plain python int so the kernel closure
-# does not capture a traced constant
-DEPTH_BITS = 22  # packed key: depth<<8 | gray, same as jax_raster
+SPAN = 2          # binning enumerates a SPAN x SPAN tile window per face
+CHUNK = 256       # faces processed per kernel step
+FACE_BITS = 18    # face id occupies the low bits of the packed sort key
+SENTINEL = 0x7FFFFFFF  # int32 max; plain python int so the kernel closure
+                       # does not capture a traced constant
 
 
 def _face_setup(verts_cam, faces, fx, fy, cx, cy):
@@ -70,17 +78,13 @@ def _face_setup(verts_cam, faces, fx, fy, cx, cy):
 
     depth = center[:, 2]
     zmax = jnp.max(jnp.where(keep, depth, 0.0)) + 1e-6
-    depth_q = jnp.clip(depth / zmax * (2 ** DEPTH_BITS - 2), 0,
-                       2 ** DEPTH_BITS - 2).astype(jnp.int32)
+    depth_q = jnp.clip(depth / zmax * (2 ** 22 - 2), 0,
+                       2 ** 22 - 2).astype(jnp.int32)
     key = jnp.where(keep, (depth_q << 8) | gray, jnp.int32(SENTINEL))
     return u.astype(f32), v.astype(f32), key, keep
 
 
-def _bin_faces(u, v, keep, n_ty, n_tx, cap, span_y, span_x):
-    """Sort-based binning. Returns bins (n_tiles, cap) int32 face indices
-    (n_faces = invalid slot) and per-tile counts (clipped to cap)."""
-    n_faces = u.shape[0]
-    n_tiles = n_ty * n_tx
+def _tile_ranges(u, v, n_ty, n_tx):
     ty0 = jnp.clip(jnp.floor(jnp.min(v, 1) / TILE_H).astype(jnp.int32),
                    0, n_ty - 1)
     ty1 = jnp.clip(jnp.floor(jnp.max(v, 1) / TILE_H).astype(jnp.int32),
@@ -89,151 +93,214 @@ def _bin_faces(u, v, keep, n_ty, n_tx, cap, span_y, span_x):
                    0, n_tx - 1)
     tx1 = jnp.clip(jnp.floor(jnp.max(u, 1) / TILE_W).astype(jnp.int32),
                    0, n_tx - 1)
-    # bbox fully off-screen -> no entries
+    return ty0, ty1, tx0, tx1
+
+
+def _bin_faces(u, v, keep, n_ty, n_tx, big_cap):
+    """Sorted ragged binning. Returns (sf (Np,) face ids in sorted-entry
+    order padded with n_faces, first (T+1,) segment offsets, gbin
+    (big_cap,) global big-face ids, big_n ())."""
+    n_faces = u.shape[0]
+    n_tiles = n_ty * n_tx
+    ty0, ty1, tx0, tx1 = _tile_ranges(u, v, n_ty, n_tx)
     on = keep & (jnp.max(u, 1) >= 0) & (jnp.min(u, 1) < n_tx * TILE_W) \
               & (jnp.max(v, 1) >= 0) & (jnp.min(v, 1) < n_ty * TILE_H)
+    big = on & ((ty1 - ty0 >= SPAN) | (tx1 - tx0 >= SPAN))
+    small = on & jnp.logical_not(big)
 
-    tids, fids = [], []
     face_idx = jnp.arange(n_faces, dtype=jnp.int32)
-    for dy in range(span_y):
-        for dx in range(span_x):
+    packs = []
+    for dy in range(SPAN):
+        for dx in range(SPAN):
             ty = ty0 + dy
             tx = tx0 + dx
-            ok = on & (ty <= ty1) & (tx <= tx1)
-            tids.append(jnp.where(ok, ty * n_tx + tx, n_tiles))
-            fids.append(face_idx)
-    tile_id = jnp.concatenate(tids)
-    face_id = jnp.concatenate(fids)
-
-    order = jnp.argsort(tile_id)
-    st, sf = tile_id[order], face_id[order]
+            ok = small & (ty <= ty1) & (tx <= tx1)
+            tid = jnp.where(ok, ty * n_tx + tx, n_tiles)
+            packs.append((tid << FACE_BITS) | face_idx)
+    packed = jnp.sort(jnp.concatenate(packs))            # ONE single-key sort
+    st = (packed >> FACE_BITS).astype(jnp.int32)
+    sf = (packed & ((1 << FACE_BITS) - 1)).astype(jnp.int32)
+    sf = jnp.where(st < n_tiles, sf, n_faces)            # sentinel tail
     first = jnp.searchsorted(st, jnp.arange(n_tiles + 1, dtype=jnp.int32),
-                             side="left")
-    rank = jnp.arange(st.shape[0], dtype=jnp.int32) - first[jnp.clip(
-        st, 0, n_tiles)]
-    ok = (st < n_tiles) & (rank < cap)
-    row = jnp.where(ok, st, n_tiles)
-    col = jnp.where(ok, rank, 0)
-    bins = jnp.full((n_tiles + 1, cap), n_faces, jnp.int32)
-    bins = bins.at[row, col].set(jnp.where(ok, sf, n_faces))
-    counts = jnp.minimum(first[1:n_tiles + 1] - first[:n_tiles], cap)
-    return bins[:n_tiles], counts
+                             side="left").astype(jnp.int32)
+
+    pad = (-sf.shape[0]) % CHUNK
+    if pad:
+        sf = jnp.concatenate([sf, jnp.full(pad, n_faces, jnp.int32)])
+
+    brank = jnp.cumsum(big.astype(jnp.int32)) - 1
+    bok = big & (brank < big_cap)
+    gbin = jnp.full(big_cap + 1, n_faces, jnp.int32)
+    gbin = gbin.at[jnp.where(bok, brank, big_cap)].set(
+        jnp.where(bok, face_idx, n_faces))
+    big_n = jnp.minimum(jnp.sum(big.astype(jnp.int32)), big_cap)
+    return sf, first, gbin[:big_cap], big_n
 
 
-def _raster_kernel(edge_ref, key_ref, out_ref, acc):
-    """One (TILE_H, TILE_W) tile: min-reduce packed keys over the tile's
-    binned faces. edge_ref (1, 12, cap) rows = [A0 B0 C0 A1 B1 C1 A2 B2 C2
-    pad pad pad]; key_ref (1, cap); out/acc (1, 1024)."""
-    cap = edge_ref.shape[2]
-    chunk = min(cap, 256)
+def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
+                   out_ref, acc):
+    """Grid step (t, k): tile t consumes the k-th CHUNK-block overlapping
+    its sorted segment [first[t], first[t+1]); k == 0 also initializes the
+    tile's z-buffer scratch and sweeps the global big-face list.
+    scal_ref (T+2,) = [first..., big_n]; edge_ref (12, CHUNK) block of the
+    sorted edge data; key_ref (1, CHUNK); g* refs the (12|1, big_cap)
+    global list; out (1, TILE_H, TILE_W); acc (TILE_H*TILE_W, 1) scratch
+    persisting across the tile's k steps."""
     n_pix = TILE_H * TILE_W
-    ty = pl.program_id(0)
-    tx = pl.program_id(1)
-    base_x = (tx * TILE_W).astype(jnp.float32)
-    base_y = (ty * TILE_H).astype(jnp.float32)
+    t = pl.program_id(0)
+    k = pl.program_id(1)
+    n_tiles = scal_ref.shape[0] - 2
+    lo = scal_ref[t]
+    hi = scal_ref[t + 1]
+    blk0 = lo // CHUNK
+    start = (blk0 + k) * CHUNK
 
-    # pixel matrix (1024, 3): columns cx, cy, 1 at pixel centers; pixel p
-    # is (y, x) = (p // TILE_W, p % TILE_W) within the tile
+    # pixel matrix (1024, 3): columns cx, cy, 1 at pixel centers
     r_id = jax.lax.broadcasted_iota(jnp.int32, (n_pix, 3), 0)
     c_id = jax.lax.broadcasted_iota(jnp.int32, (n_pix, 3), 1)
-    px = (r_id % TILE_W).astype(jnp.float32) + base_x + 0.5
-    py = (r_id // TILE_W).astype(jnp.float32) + base_y + 0.5
-    pix = jnp.where(c_id == 0, px, jnp.where(c_id == 1, py, 1.0))
-
-    acc[...] = jnp.full((n_pix, 1), SENTINEL, jnp.int32)
-    # contract pix's 3-axis with the coefficient rows: (1024, chunk)
     contract = (((1,), (0,)), ((), ()))
 
-    def body(k, _):
-        sl = pl.ds(k * chunk, chunk)
-        m = edge_ref[0, :, sl]                       # (12, chunk)
-        keys = key_ref[:, sl]                        # (1, chunk)
-        e0 = jax.lax.dot_general(pix, m[0:3], contract,
+    def make_pix(base_x, base_y):
+        px = (r_id % TILE_W).astype(jnp.float32) + base_x + 0.5
+        py = (r_id // TILE_W).astype(jnp.float32) + base_y + 0.5
+        return jnp.where(c_id == 0, px, jnp.where(c_id == 1, py, 1.0))
+
+    def edges(m, pix):
+        hi_p = jax.lax.Precision.HIGHEST
+        e0 = jax.lax.dot_general(pix, m[0:3], contract, precision=hi_p,
                                  preferred_element_type=jnp.float32)
-        e1 = jax.lax.dot_general(pix, m[3:6], contract,
+        e1 = jax.lax.dot_general(pix, m[3:6], contract, precision=hi_p,
                                  preferred_element_type=jnp.float32)
-        e2 = jax.lax.dot_general(pix, m[6:9], contract,
+        e2 = jax.lax.dot_general(pix, m[6:9], contract, precision=hi_p,
                                  preferred_element_type=jnp.float32)
         # jax_raster inside test: sign-consistency vs edge 0, 1e-12 slack
         s0 = e0 >= 0.0
-        inside = (((e1 >= 0.0) == s0) | (jnp.abs(e1) < 1e-12)) \
+        return (((e1 >= 0.0) == s0) | (jnp.abs(e1) < 1e-12)) \
             & (((e2 >= 0.0) == s0) | (jnp.abs(e2) < 1e-12))
-        cand = jnp.where(inside, keys, SENTINEL)     # (1024, chunk), exact
-        best = jnp.min(cand, axis=1, keepdims=True)  # (1024, 1)
-        acc[...] = jnp.minimum(acc[...], best)
-        return 0
 
-    jax.lax.fori_loop(0, cap // chunk, body, 0)
-    out_ref[...] = acc[...].reshape(1, n_pix)
+    @pl.when(k == 0)
+    def _():
+        acc[...] = jnp.full((n_pix, 1), SENTINEL, jnp.int32)
+
+    # tile pixel origin (tile linear id t -> (ty, tx) via the x tile count
+    # baked in statically through the out_ref alias trick is not available;
+    # the caller passes n_tx via scal_ref's tail slot count instead — see
+    # rasterize_tiled, which appends n_tx as the LAST scalar)
+    ntx = scal_ref[n_tiles + 1] >> 16          # high half: n_tx
+    big_n = scal_ref[n_tiles + 1] & 0xFFFF     # low half: big-face count
+    base_x = ((t % ntx) * TILE_W).astype(jnp.float32)
+    base_y = ((t // ntx) * TILE_H).astype(jnp.float32)
+    pix = make_pix(base_x, base_y)
+
+    @pl.when(k == 0)
+    def _():
+        big_cap = gedge_ref.shape[1]
+        gchunk = min(big_cap, CHUNK)
+
+        def gbody(i, _):
+            sl = pl.ds(i * gchunk, gchunk)
+            inside = edges(gedge_ref[:, sl], pix)
+            cand = jnp.where(inside, gkey_ref[:, sl], SENTINEL)
+            acc[...] = jnp.minimum(
+                acc[...], jnp.min(cand, axis=1, keepdims=True))
+            return 0
+
+        n_g = jnp.minimum(pl.cdiv(big_n, jnp.int32(gchunk)),
+                          big_cap // gchunk)
+        jax.lax.fori_loop(0, n_g, gbody, 0)
+
+    @pl.when(start < hi)
+    def _():
+        inside = edges(edge_ref[...], pix)
+        # mask entries outside this tile's segment (chunk straddle)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + start
+        ok = (col >= lo) & (col < hi)
+        cand = jnp.where(inside & ok, key_ref[...], SENTINEL)
+        acc[...] = jnp.minimum(acc[...],
+                               jnp.min(cand, axis=1, keepdims=True))
+
+    out_ref[...] = acc[...].reshape(1, TILE_H, TILE_W)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "cap", "span_y",
-                                   "span_x", "interpret"))
+@partial(jax.jit, static_argnames=("height", "width", "max_chunks",
+                                   "big_cap", "interpret"))
 def rasterize_tiled(
     verts_cam: jnp.ndarray,   # (nV, 3) camera-space vertices
     faces: jnp.ndarray,       # (nF, 3) int32
     fx, fy, cx, cy,
     height: int,
     width: int,
-    cap: int = 1024,
-    span_y: int = SPAN_Y,
-    span_x: int = SPAN_X,
+    max_chunks: int = 4,      # per-tile chunk budget (pick_cap auto-sizes)
+    big_cap: int = 256,
     interpret: bool = False,
 ):
     """Rasterize one frame with the tile-binned kernel. Returns
     (gray (H, W) uint8, covered (H, W) bool) — same contract/semantics as
     jax_raster.rasterize_zbuffer."""
     n_faces = faces.shape[0]
+    assert n_faces < (1 << FACE_BITS)
     n_ty = -(-height // TILE_H)
     n_tx = -(-width // TILE_W)
+    n_tiles = n_ty * n_tx
     u, v, key, keep = _face_setup(verts_cam.astype(jnp.float32), faces,
                                   fx, fy, cx, cy)
-    bins, _ = _bin_faces(u, v, keep, n_ty, n_tx, cap, span_y, span_x)
+    sf, first, gbin, big_n = _bin_faces(u, v, keep, n_ty, n_tx, big_cap)
+    n_blocks = sf.shape[0] // CHUNK
 
-    # edge-function coefficients per face: e_k(x, y) = A x + B y + C with
-    # (A, B, C) = (by - ay, -(bx - ax), (bx-ax)*(-ay) ... expanded from
-    # jax_raster: e = (bx-ax)(cy - ay) - (by-ay)(cx - ax)
+    # edge-function coefficients per face: e(x, y) = A x + B y + C
+    # expanded from jax_raster's e = (bx-ax)(cy - ay) - (by-ay)(cx - ax)
     def edge_coef(a_idx, b_idx):
         ax, ay = u[:, a_idx], v[:, a_idx]
         bx, by = u[:, b_idx], v[:, b_idx]
-        A = -(by - ay)
-        B = (bx - ax)
-        C = (by - ay) * ax - (bx - ax) * ay
-        return A, B, C
+        return (-(by - ay), (bx - ax), (by - ay) * ax - (bx - ax) * ay)
 
     coefs = []
     for k in range(3):
         coefs.extend(edge_coef(k, (k + 1) % 3))
     coef = jnp.stack(coefs)                       # (9, F)
-    # pad with 3 zero rows to a 12-row block (sublane-friendly) and add a
-    # sentinel face column whose edges never pass the inside test
+    # pad to 12 rows (sublane-friendly) + sentinel face column: all-zero
+    # edges are "inside" under the slack test, so its key must be (and is)
+    # SENTINEL
     coef = jnp.concatenate([coef, jnp.zeros((3, n_faces), coef.dtype)])
-    dead = jnp.zeros((12, 1), coef.dtype).at[0:9:3, 0].set(0.0)
-    # sentinel face: all-zero edges => e==0 everywhere => inside is TRUE
-    # under the slack test, so its key must be SENTINEL (it is: key[F]).
-    coef = jnp.concatenate([coef, dead], axis=1)  # (12, F+1)
+    coef = jnp.concatenate([coef, jnp.zeros((12, 1), coef.dtype)], axis=1)
     key_ext = jnp.concatenate([key, jnp.full(1, SENTINEL, jnp.int32)])
 
-    edge_t = coef.T[bins].transpose(0, 2, 1)      # (T, 12, cap)
-    key_t = key_ext[bins]                         # (T, cap)
+    edge_sorted = coef[:, sf]                     # (12, Np) useful gather
+    key_sorted = key_ext[sf][None]                # (1, Np)
+    gedge = coef[:, gbin]                         # (12, big_cap)
+    gkey = key_ext[gbin][None]                    # (1, big_cap)
 
-    out = pl.pallas_call(
-        _raster_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_ty * n_tx, TILE_H * TILE_W),
-                                       jnp.int32),
-        grid=(n_ty, n_tx),
+    # scalars: first offsets + packed (n_tx << 16 | big_n) tail slot
+    tail = (jnp.int32(n_tx) << 16) | big_n.astype(jnp.int32)
+    scal = jnp.concatenate([first, tail[None]])
+
+    def blk_of(t, k, s):
+        return jnp.clip(s[t] // CHUNK + k, 0, n_blocks - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, max_chunks),
         in_specs=[
-            pl.BlockSpec((1, 12, cap), lambda i, j, _ntx=n_tx: (i * _ntx + j, 0, 0),
+            pl.BlockSpec((12, CHUNK), lambda t, k, s: (0, blk_of(t, k, s)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cap), lambda i, j, _ntx=n_tx: (i * _ntx + j, 0),
+            pl.BlockSpec((1, CHUNK), lambda t, k, s: (0, blk_of(t, k, s)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, gbin.shape[0]), lambda t, k, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gbin.shape[0]), lambda t, k, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, TILE_H * TILE_W), lambda i, j, _ntx=n_tx: (i * _ntx + j, 0),
-            memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, TILE_H, TILE_W),
+                               lambda t, k, s: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((TILE_H * TILE_W, 1), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        _raster_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.int32),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(edge_t, key_t)
+    )(scal, edge_sorted, key_sorted, gedge, gkey)
 
     buf = out.reshape(n_ty, n_tx, TILE_H, TILE_W).transpose(0, 2, 1, 3)
     buf = buf.reshape(n_ty * TILE_H, n_tx * TILE_W)[:height, :width]
@@ -243,11 +310,10 @@ def rasterize_tiled(
 
 
 def pick_cap(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
-             height: int, width: int, lo: int = 128,
-             hi: int = 4096) -> tuple:
-    """(cap, span_y, span_x): pow2-bucketed bin capacity covering the
-    densest tile plus the tile spans covering the largest visible face
-    (host-side; bounds jit recompiles like jax_raster.pick_patch)."""
+             height: int, width: int, hi: int = 8192) -> tuple:
+    """(max_chunks, big_cap): static per-tile chunk budget covering the
+    densest tile's segment (+1 for chunk straddle) and the global big-face
+    capacity, pow2-bucketed to bound jit recompiles."""
     v = np.asarray(verts_cam, np.float64)
     z = np.maximum(v[:, 2], 1e-8)
     u = fx * v[:, 0] / z + cx
@@ -255,28 +321,44 @@ def pick_cap(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
     f = np.asarray(faces)
     n_ty = -(-height // TILE_H)
     n_tx = -(-width // TILE_W)
-    ty0 = np.clip(np.floor(w[f].min(1) / TILE_H).astype(int), 0, n_ty - 1)
-    ty1 = np.clip(np.floor(w[f].max(1) / TILE_H).astype(int), 0, n_ty - 1)
-    tx0 = np.clip(np.floor(u[f].min(1) / TILE_W).astype(int), 0, n_tx - 1)
-    tx1 = np.clip(np.floor(u[f].max(1) / TILE_W).astype(int), 0, n_tx - 1)
-    visible = (v[f[:, 0], 2] > 1e-6)
-    span_y = span_x = 1
-    if f.size:
-        span_y = int((ty1 - ty0).max()) + 1
-        span_x = int((tx1 - tx0).max()) + 1
-    sy = 1
-    while sy < span_y:
-        sy *= 2
-    sx = 1
-    while sx < span_x:
-        sx *= 2
+    uf, wf = u[f], w[f]
+    ty0 = np.clip(np.floor(wf.min(1) / TILE_H).astype(int), 0, n_ty - 1)
+    ty1 = np.clip(np.floor(wf.max(1) / TILE_H).astype(int), 0, n_ty - 1)
+    tx0 = np.clip(np.floor(uf.min(1) / TILE_W).astype(int), 0, n_tx - 1)
+    tx1 = np.clip(np.floor(uf.max(1) / TILE_W).astype(int), 0, n_tx - 1)
+    big = (ty1 - ty0 >= SPAN) | (tx1 - tx0 >= SPAN)
     counts = np.zeros(n_ty * n_tx, int)
-    for dy in range(sy):
-        for dx in range(sx):
-            sel = (ty0 + dy <= ty1) & (tx0 + dx <= tx1)
+    for dy in range(SPAN):
+        for dx in range(SPAN):
+            sel = (~big) & (ty0 + dy <= ty1) & (tx0 + dx <= tx1)
             np.add.at(counts, ((ty0 + dy) * n_tx + (tx0 + dx))[sel], 1)
-    need = int(counts.max()) if counts.size else lo
-    cap = lo
-    while cap < min(need, hi):
-        cap *= 2
-    return cap, sy, sx
+    need = int(counts.max()) if counts.size else 1
+    mc = 1
+    while mc * CHUNK < min(need, hi):
+        mc *= 2
+    mc += 1  # chunk straddle: a segment can touch one extra block
+    nbig = int(big.sum())
+    big_cap = CHUNK
+    while big_cap < min(nbig, hi):
+        big_cap *= 2
+    return mc, big_cap
+
+
+def render_overlay_tiled(verts_cam, faces, img_bgr: np.ndarray,
+                         fx, fy, cx, cy) -> np.ndarray:
+    """Composite the tiled render over a (H, W, 3) uint8 image (host).
+    Drop-in for jax_raster.render_overlay_jax; auto-sizes the chunk
+    budget and runs the kernel in interpret mode off-TPU."""
+    h, w = img_bgr.shape[:2]
+    mc, bc = pick_cap(np.asarray(verts_cam), np.asarray(faces),
+                      fx, fy, cx, cy, h, w)
+    interp = jax.default_backend() == "cpu"
+    gray, covered = rasterize_tiled(
+        jnp.asarray(verts_cam), jnp.asarray(np.asarray(faces, np.int32)),
+        float(fx), float(fy), float(cx), float(cy), h, w,
+        max_chunks=mc, big_cap=bc, interpret=interp)
+    gray = np.asarray(gray)
+    covered = np.asarray(covered)
+    out = img_bgr.copy()
+    out[covered] = gray[covered][:, None]
+    return out

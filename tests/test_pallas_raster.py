@@ -18,12 +18,12 @@ CX, CY = 64.0, 48.0
 H, W = 96, 128
 
 
-def _tiled(verts, faces, cap_spans):
+def _tiled(verts, faces, caps):
     import jax.numpy as jnp
-    cap, sy, sx = cap_spans
+    max_chunks, big_cap = caps
     g, c = rasterize_tiled(jnp.asarray(verts), jnp.asarray(faces),
-                           FX, FY, CX, CY, H, W, cap=cap, span_y=sy,
-                           span_x=sx, interpret=True)
+                           FX, FY, CX, CY, H, W, max_chunks=max_chunks,
+                           big_cap=big_cap, interpret=True)
     return np.asarray(g), np.asarray(c)
 
 
@@ -68,5 +68,5 @@ def test_behind_camera_and_backface_culled():
         [-0.2, -0.2, -1.0], [0.2, -0.2, -1.0], [0.0, 0.3, -1.0],
     ], np.float32)
     faces = np.array([[0, 1, 2], [3, 5, 4]], np.int32)
-    _, c = _tiled(verts, faces, (128, 2, 1))
+    _, c = _tiled(verts, faces, (2, 256))
     assert not c.any()
