@@ -54,7 +54,16 @@ def load_dataset(smpl_path: str, kps_folder: str, img_folder: str,
     height, width = img0.shape[:2]
     cam = default_intrinsics(width, height, dtype=dtype)
 
-    model_dict = load_smpl_npz(smpl_path)
+    # model spec: a real npz path, a registry name (female/male/neutral),
+    # or synthetic[:n] (smpltpu/models/registry.py)
+    if os.path.isfile(smpl_path):
+        model_dict = load_smpl_npz(smpl_path)
+        model_dir = os.path.dirname(os.path.abspath(smpl_path))
+    else:
+        from smpltpu.models.registry import find_model_file, resolve_model
+        model_dict = resolve_model(smpl_path)
+        found = find_model_file(smpl_path)
+        model_dir = os.path.dirname(found) if found else None
     model = SMPLModel.from_dict(model_dict, dtype=dtype)
 
     kp_batch, json_paths = load_keypoint_dir(
@@ -65,8 +74,8 @@ def load_dataset(smpl_path: str, kps_folder: str, img_folder: str,
     # pose prior: explicit path, else the avatar-model convention of a
     # pose_prior.txt next to the npz
     prior = None
-    candidate = pose_prior_path or os.path.join(
-        os.path.dirname(os.path.abspath(smpl_path)), "pose_prior.txt")
+    candidate = pose_prior_path or (
+        os.path.join(model_dir, "pose_prior.txt") if model_dir else "")
     if os.path.isfile(candidate):
         prior = load_pose_prior_txt(candidate)
 

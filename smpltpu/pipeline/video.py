@@ -1,0 +1,231 @@
+"""One-command video driver: extract -> fit -> render -> assemble.
+
+The reference spreads its pipeline over four manual steps
+(data/scripts/extract_keypoints_mediapipe.py, then 3dba_single/3dba_multi,
+then data/scripts/create_video.py — README.md:4-21); this driver runs the
+whole chain:
+
+    python -m smpltpu.pipeline.video <SMPL.npz> <input> <out_dir>
+        [--mode multi|single] [--size WxH] [--images DIR] [--fps N]
+        [--no-video] [--mesh N] [--multi-start] [--freeze-scale]
+        [--use-gmm] [--pose-prior FILE] [--jax-render]
+        [--iters N] [--s2-iters N] [--beta-pose X] [--beta-shape X]
+        [--lambda-t X]
+
+``input`` may be:
+  * a video file            -> MediaPipe extraction (needs cv2+mediapipe),
+  * a directory of images   -> MediaPipe extraction per frame,
+  * a directory of keypoint .json files -> consumed directly; frames come
+    from --images, or blank frames of --size are synthesized so the
+    fitting/rendering contract (reference: image count == json count)
+    holds without real footage.
+
+Fitting and rendering reuse the 3dba-parity CLIs (pipeline.single /
+pipeline.multi) unchanged; assembly reuses data/scripts/create_video.
+Every stage degrades gracefully when its optional dependency (cv2,
+mediapipe) is absent: the driver reports what it skipped and continues
+with what it can do.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+USAGE = __doc__.split("\n\n")[1] + "\n"
+
+
+def _parse(argv):
+    if len(argv) < 3:
+        return None
+    opts = {
+        "smpl_path": argv[0], "input": argv[1], "out_dir": argv[2],
+        "mode": "multi", "size": None, "images": None, "fps": 10.0,
+        "no_video": False, "mesh": None, "multi_start": False,
+        "freeze_scale": False, "use_gmm": False, "pose_prior": None,
+        "jax_render": False, "iters": None, "s2_iters": None,
+        "beta_pose": None, "beta_shape": None, "lambda_t": None,
+    }
+    rest = list(argv[3:])
+    flags = {"--no-video": "no_video", "--multi-start": "multi_start",
+             "--freeze-scale": "freeze_scale", "--use-gmm": "use_gmm",
+             "--jax-render": "jax_render"}
+    valued = {"--mode": ("mode", str), "--size": ("size", str),
+              "--images": ("images", str), "--fps": ("fps", float),
+              "--mesh": ("mesh", int), "--pose-prior": ("pose_prior", str),
+              "--iters": ("iters", int), "--s2-iters": ("s2_iters", int),
+              "--beta-pose": ("beta_pose", float),
+              "--beta-shape": ("beta_shape", float),
+              "--lambda-t": ("lambda_t", float)}
+    while rest:
+        a = rest.pop(0)
+        if a in flags:
+            opts[flags[a]] = True
+        elif a in valued and rest:
+            key, typ = valued[a]
+            opts[key] = typ(rest.pop(0))
+        else:
+            print(f"[WARN] Unknown arg ignored: {a}", file=sys.stderr)
+    return opts
+
+
+def _extract_from_video(video_path: str, out_dir: str):
+    """MediaPipe extraction (reuses the parity tool). Returns
+    (kps_dir, img_dir) or raises RuntimeError when deps are missing."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "data", "scripts"))
+    import extract_keypoints_mediapipe as ext
+    base = os.path.join(out_dir, "extract")
+    ext.process_video(video_path, base=base)
+    name = os.path.basename(video_path)
+    return (os.path.join(base, "keypoints", name),
+            os.path.join(base, "frames_annotated", name))
+
+
+def _extract_from_images(img_dir: str, out_dir: str):
+    """Per-image MediaPipe extraction into out_dir/extract_kps."""
+    try:
+        import cv2
+        from mediapipe.python.solutions import pose as mp_pose
+    except ImportError as e:
+        raise RuntimeError(
+            f"image-folder extraction needs cv2 + mediapipe ({e})")
+    import json
+
+    from smpltpu.io.keypoints import list_sorted
+    kp_dir = os.path.join(out_dir, "extract_kps")
+    os.makedirs(kp_dir, exist_ok=True)
+    pose = mp_pose.Pose(static_image_mode=True, model_complexity=1,
+                        min_detection_confidence=0.5)
+    for p in list_sorted(img_dir, [".png", ".jpg", ".jpeg"]):
+        img = cv2.imread(p)
+        res = pose.process(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        lms = []
+        if res.pose_landmarks:
+            lms = [{"x": lm.x, "y": lm.y, "z": lm.z,
+                    "visibility": lm.visibility}
+                   for lm in res.pose_landmarks.landmark]
+        stem = os.path.splitext(os.path.basename(p))[0]
+        with open(os.path.join(kp_dir, stem + ".json"), "w") as f:
+            json.dump(lms, f)
+    return kp_dir, img_dir
+
+
+def _blank_frames(kps_dir: str, out_dir: str, size):
+    """Synthesize black frames matching the keypoint json names so the
+    CLI's image-count contract holds without real footage."""
+    from smpltpu.io.keypoints import list_sorted
+    from smpltpu.utils.image import imwrite
+    w, h = size
+    img_dir = os.path.join(out_dir, "_frames")
+    os.makedirs(img_dir, exist_ok=True)
+    blank = np.zeros((h, w, 3), np.uint8)
+    for p in list_sorted(kps_dir, [".json"]):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        imwrite(os.path.join(img_dir, stem + ".png"), blank)
+    return img_dir
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    opts = _parse(argv)
+    if opts is None:
+        print(USAGE, end="")
+        return 0
+    os.makedirs(opts["out_dir"], exist_ok=True)
+
+    # ---- stage 1: resolve input into (kps_dir, img_dir) ----
+    inp = opts["input"]
+    if os.path.isfile(inp):
+        print(f"[INFO] extracting keypoints from video {inp}")
+        try:
+            kps_dir, img_dir = _extract_from_video(inp, opts["out_dir"])
+        except Exception as e:
+            print(f"[ERROR] extraction failed: {e}", file=sys.stderr)
+            return 1
+    elif os.path.isdir(inp):
+        from smpltpu.io.keypoints import list_sorted
+        if list_sorted(inp, [".json"]):
+            kps_dir = inp
+            img_dir = opts["images"]
+            if img_dir is None:
+                size = (720, 1280)
+                if opts["size"]:
+                    w, h = opts["size"].lower().split("x")
+                    size = (int(w), int(h))
+                print(f"[INFO] no --images given; synthesizing blank "
+                      f"{size[0]}x{size[1]} frames")
+                img_dir = _blank_frames(kps_dir, opts["out_dir"], size)
+        else:
+            print(f"[INFO] extracting keypoints from image folder {inp}")
+            try:
+                kps_dir, img_dir = _extract_from_images(inp, opts["out_dir"])
+            except Exception as e:
+                print(f"[ERROR] extraction failed: {e}", file=sys.stderr)
+                return 1
+    else:
+        print(f"input not found: {inp}", file=sys.stderr)
+        return 1
+
+    # ---- stage 2: fit + render via the parity CLIs ----
+    fit_out = os.path.join(opts["out_dir"], "fit")
+    args = [opts["smpl_path"], kps_dir, img_dir, fit_out]
+    if opts["mode"] == "single":
+        from smpltpu.pipeline import single as cli
+        if opts["iters"] is not None:
+            args.append(str(opts["iters"]))
+            if opts["beta_pose"] is not None:
+                args.append(str(opts["beta_pose"]))
+                if opts["beta_shape"] is not None:
+                    args.append(str(opts["beta_shape"]))
+        for flag, key in (("--multi-start", "multi_start"),
+                          ("--freeze-scale", "freeze_scale"),
+                          ("--use-gmm", "use_gmm"),
+                          ("--jax-render", "jax_render")):
+            if opts[key]:
+                args.append(flag)
+        if opts["pose_prior"]:
+            args += ["--pose-prior", opts["pose_prior"]]
+    else:
+        from smpltpu.pipeline import multi as cli
+        args += ["--batched-windows", "--init-from-anchors"]
+        if opts["iters"] is not None:
+            args += ["--s2-iters", str(opts["s2_iters"] or 60)]
+            args[4:4] = [str(opts["iters"])]
+        if opts["mesh"] is not None:
+            args += ["--mesh", str(opts["mesh"])]
+        if opts["jax_render"]:
+            args.append("--jax-render")
+        if opts["pose_prior"]:
+            args += ["--pose-prior", opts["pose_prior"]]
+    print(f"[INFO] fitting ({opts['mode']}) -> {fit_out}")
+    rc = cli.main(args)
+    if rc != 0:
+        return rc
+
+    # ---- stage 3: assemble the annotated mp4 ----
+    if not opts["no_video"]:
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                "data", "scripts"))
+            import create_video
+            mp4 = os.path.join(opts["out_dir"], "annotated.mp4")
+            rc_v = create_video.main([fit_out, mp4, str(opts["fps"])])
+        except Exception as e:
+            print(f"[WARN] video assembly skipped: {e}", file=sys.stderr)
+            rc_v = 1
+        if rc_v == 0:
+            print(f"[INFO] wrote {mp4}")
+        else:
+            print("[WARN] video assembly skipped (no cv2 or no frames)",
+                  file=sys.stderr)
+    print("done.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

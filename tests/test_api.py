@@ -57,3 +57,32 @@ def test_fit_video_multi_with_verts(small_model_dict, api_video):
 def test_fit_video_bad_mode(small_model_dict, api_video):
     with pytest.raises(ValueError, match="unknown mode"):
         fit_video(small_model_dict, api_video, W, H, mode="banana")
+
+
+def test_model_registry(tmp_path, monkeypatch):
+    """Registry resolves synthetic specs, real npz paths, named models via
+    $SMPLTPU_MODEL_DIR, and rejects LFS stubs with a clear message."""
+    import pytest
+
+    from smpltpu.io import save_smpl_npz
+    from smpltpu.models.registry import find_model_file, resolve_model
+    from smpltpu.models.synthetic import make_synthetic_model
+
+    d = resolve_model("synthetic:64")
+    assert d["v_template"].shape == (64, 3)
+
+    p = tmp_path / "basicModel_f_lbs_10_207_0_v1.0.0.npz"
+    save_smpl_npz(str(p), make_synthetic_model(n_verts=80, seed=3))
+    monkeypatch.setenv("SMPLTPU_MODEL_DIR", str(tmp_path))
+    assert find_model_file("female") == str(p)
+    d = resolve_model("female")
+    assert d["v_template"].shape == (80, 3)
+    assert resolve_model(str(p))["v_template"].shape == (80, 3)
+
+    stub = tmp_path / "basicModel_m_lbs_10_207_0_v1.0.0.npz"
+    stub.write_bytes(b"version https://git-lfs.github.com/spec/v1\n")
+    assert find_model_file("male") is None  # stub rejected
+    with pytest.raises(ValueError, match="LFS pointer stub"):
+        resolve_model(str(stub))
+    with pytest.raises(ValueError, match="cannot resolve"):
+        resolve_model("neutral")

@@ -79,3 +79,69 @@ def test_bench_smoke():
     rec = json.loads(lines[0])
     assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
     assert rec["value"] > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(VIDEO1_KPS),
+                    reason="reference fixture not mounted")
+def test_fit_video_one_command(tmp_path):
+    """VERDICT round-1 item 6: the one-command driver on the video1
+    fixture must produce log.csv + renders (+ mp4 when cv2 is present)
+    from just a keypoints folder."""
+    from smpltpu.pipeline import video as video_cli
+
+    model_path = str(tmp_path / "model.npz")
+    save_smpl_npz(model_path, make_synthetic_model(n_verts=300, seed=0))
+    out = str(tmp_path / "out")
+    rc = video_cli.main([model_path, VIDEO1_KPS, out,
+                         "--size", "90x160", "--iters", "40",
+                         "--s2-iters", "20", "--fps", "5"])
+    assert rc == 0
+    fit_out = os.path.join(out, "fit")
+    assert os.path.isfile(os.path.join(fit_out, "log.csv"))
+    assert os.path.isfile(os.path.join(fit_out, "params_multi.npz"))
+    renders = [f for f in os.listdir(fit_out) if f.endswith("_multi.png")]
+    assert len(renders) == 38
+    try:
+        import cv2  # noqa: F401
+        assert os.path.isfile(os.path.join(out, "annotated.mp4"))
+    except ImportError:
+        pass
+
+
+@pytest.mark.skipif(not os.path.isdir(VIDEO1_KPS),
+                    reason="reference fixture not mounted")
+def test_stage2_batched_vs_sequential_on_video1(tmp_path):
+    """VERDICT round-1 item 9: quantify the documented stage-2 divergence
+    on REAL data. --batched-windows drops the sequential init chain (all
+    windows start from the post-stage-1 snapshot); --init-from-anchors
+    must close the gap to within 20% of the sequential path's error."""
+    from smpltpu.pipeline import multi as multi_cli
+
+    model_path = str(tmp_path / "model.npz")
+    save_smpl_npz(model_path, make_synthetic_model(n_verts=300, seed=0))
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(0, 380, 10):
+        imwrite(str(img_dir / f"frame_{i:04d}.png"),
+                np.zeros((64, 36, 3), np.uint8))
+
+    def run(tag, extra):
+        out = str(tmp_path / tag)
+        rc = multi_cli.main([model_path, VIDEO1_KPS, str(img_dir), out,
+                             "60", "60", "5", "8", "2", "2.0", "25.0",
+                             "1.0", "--s2-iters", "25"] + extra)
+        assert rc == 0
+        rows = open(os.path.join(out, "log.csv")).read().splitlines()[1:]
+        # window rows only (skip the anchor rows logged by stage 1)
+        n_anchor = len(range(0, 38, 5))
+        errs = np.array([float(r.split(",")[1]) for r in rows[n_anchor:]])
+        return float(np.mean(errs))
+
+    e_seq = run("seq", [])
+    e_bat = run("bat", ["--batched-windows"])
+    e_anch = run("anch", ["--batched-windows", "--init-from-anchors"])
+    # the raw batched path may diverge from sequential (documented);
+    # anchors-warm-started batching must be competitive with sequential
+    assert e_anch <= max(1.2 * e_seq, e_seq + 1.0), (e_seq, e_bat, e_anch)
+    # and the batched paths must both be sane fits at this resolution
+    assert e_bat < 40.0 and e_anch < 40.0, (e_seq, e_bat, e_anch)

@@ -126,9 +126,12 @@ def test_single_cli_gmm(tmp_path, rng):
 def test_multi_cli_end_to_end(tmp_path, rng):
     model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng, empty_frames=())
     out_dir = str(tmp_path / "out_multi")
+    # 30/20 iters: same numeric argv as the other multi tests so all
+    # pipeline tests share ONE compiled fitter via the XLA cache
+    # (VERDICT round-1 item 10: suite-cost control)
     rc = multi_cli.main([model_path, kp_dir, img_dir, out_dir,
-                         "40", "40", "3", "4", "1", "2.0", "25.0", "1.0",
-                         "--s2-iters", "25"])
+                         "30", "30", "3", "4", "1", "2.0", "25.0", "1.0",
+                         "--s2-iters", "20"])
     assert rc == 0
     log = open(os.path.join(out_dir, "log.csv")).read().splitlines()
     assert log[0] == "frame,mean_pixel_error_px,time_ms"
