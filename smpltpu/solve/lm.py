@@ -288,5 +288,22 @@ def lm_solve(
         n_accepted=jnp.asarray(0, jnp.int32),
         iters_run=jnp.asarray(0, jnp.int32),
     )
-    final, costs = jax.lax.scan(step, init, None, length=cfg.max_iters)
+    # while_loop with convergence exit (ceres terminates when tolerances
+    # fire rather than running out max_num_iterations; a fixed scan keeps
+    # paying per-iteration cost after convergence). Under vmap the cond
+    # lifts to "any instance unconverged". See solve/multi_frame.py.
+    hist0 = jnp.full((cfg.max_iters,), init.cost, dtype)
+
+    def cond(carry):
+        st, it, _ = carry
+        return (it < cfg.max_iters) & jnp.logical_not(st.converged)
+
+    def body(carry):
+        st, it, hist = carry
+        st2, c = step(st, None)
+        hist = jnp.where(jnp.arange(cfg.max_iters) >= it, c, hist)
+        return st2, it + 1, hist
+
+    final, _, costs = jax.lax.while_loop(
+        cond, body, (init, jnp.asarray(0, jnp.int32), hist0))
     return LMResult(*final, cost_history=costs)
