@@ -1,13 +1,18 @@
 """Robust loss handling.
 
 The reference wraps every keypoint residual block in ceres::HuberLoss(3.0)
-(Sim3BA.h:407,570; MultiFrameBA.h:64). Our batched LM applies the robust
-loss by iteratively-reweighted least squares (IRLS): each 2-row keypoint
-block is scaled by sqrt(rho'(s)) with s = ||r||^2, the weights held fixed
-within one LM step. This has the same stationary points as Ceres's
-corrector (Ceres additionally applies a Triggs second-order term, which
-changes step shape but not the optimum); documented deviation, covered by
-the accuracy-parity benchmark.
+(Sim3BA.h:407,570; MultiFrameBA.h:64).
+
+ROUND-2 STATUS: the production solvers no longer use the IRLS weight
+sqrt(rho'(s)) from this module — they linearize the CORRECTED residual
+c = sqrt(rho(s)/s) * r with the weight INSIDE the trace
+(solve/lm.py::huber_correct_weight), so ||c||^2 == rho exactly and the
+Jacobian carries the loss curvature. Round-2 finding: the stop-gradient
+IRLS weight (equivalent to Ceres's corrector, which zeroes its
+second-order term for Huber's rho'' < 0 region) crawls on cold-init real
+data where every block sits deep in the L1-like regime. This module
+remains the documented reference formulation of the Huber pieces and the
+home of the standalone weight helper used in tests.
 
 Huber: rho(s) = s                    for s <= delta^2
        rho(s) = 2*delta*sqrt(s) - delta^2  otherwise
