@@ -105,8 +105,12 @@ def main():
     # ---- stage 1: shared-shape anchor solve (every 10th frame) ----
     anchor_idx = np.arange(0, N_FRAMES, 10)
     n_a = len(anchor_idx)
+    # cyclic reduction: measured 644 -> 673 frames/s vs the Thomas scan on
+    # this workload (see MultiFrameConfig.linear); not the library default
+    # only because of its XLA CPU compile cost in the f64 test suite
+    linear = os.environ.get("BENCH_LINEAR", "cr")
     cfg1 = MultiFrameConfig(beta_pose=5.0, beta_shape=25.0,
-                            lambda_temporal=3.0, max_iters=150)
+                            lambda_temporal=3.0, max_iters=150, linear=linear)
     if mesh is not None:
         # frames-sharded LM over the mesh; pad anchors to a mesh multiple
         pad = (-n_a) % n_dev
@@ -151,7 +155,7 @@ def main():
 
     # ---- stage 2: ALL windows, one vmapped batch, shape locked ----
     cfg = MultiFrameConfig(beta_pose=5.0, beta_shape=1e5, lambda_temporal=3.0,
-                           max_iters=S2_ITERS)
+                           max_iters=S2_ITERS, linear=linear)
     fit = build_multi_fitter(spec, cam, cfg, 10)
 
     pad_w = (-n_win) % n_dev if mesh is not None else 0

@@ -77,6 +77,10 @@ def parse_args(argv):
         "resume": False, "profile": False, "metrics_jsonl": None,
         "init_from_anchors": False, "jax_render": False,
         "mesh": 0,  # 0 = auto (all visible devices), 1 = single-chip
+        # arrowhead linear solver (MultiFrameConfig.linear): "cr" is
+        # fastest on TPU (bench 644 -> 673 frames/s); "tridiag" default
+        # matches the library default
+        "linear": "tridiag",
     }
     positional = ["max_iters_s1", "max_iters_s2", "skip", "wsize", "overlap",
                   "beta_pose", "beta_shape", "lambda_t"]
@@ -103,6 +107,8 @@ def parse_args(argv):
             opts["mesh"] = max(0, int(float(rest.pop(0))))
         elif a == "--pose-prior" and rest:
             opts["pose_prior"] = rest.pop(0)
+        elif a == "--linear" and rest:
+            opts["linear"] = rest.pop(0)
         elif pos_idx < len(positional):
             key = positional[pos_idx]
             opts[key] = int(float(a)) if key in ints else float(a)
@@ -208,7 +214,8 @@ def main(argv=None) -> int:
         cfg1 = MultiFrameConfig(beta_pose=opts["beta_pose"],
                                 beta_shape=opts["beta_shape"],
                                 lambda_temporal=opts["lambda_t"],
-                                max_iters=opts["max_iters_s1"])
+                                max_iters=opts["max_iters_s1"],
+                                linear=opts["linear"])
         n_a = len(anchor_idx)
         if mesh is not None:
             # frames sharded over the mesh: pad the anchor batch to a
@@ -290,7 +297,8 @@ def main(argv=None) -> int:
     cfg2 = MultiFrameConfig(beta_pose=opts["beta_pose"],
                             beta_shape=SHAPE_LOCK,
                             lambda_temporal=opts["lambda_t"],
-                            max_iters=opts["s2_iters"])
+                            max_iters=opts["s2_iters"],
+                            linear=opts["linear"])
     fit2 = build_multi_fitter(spec_s2, cam, cfg2, model.num_shapes, dtype=dtype)
     wsize = opts["wsize"]
 

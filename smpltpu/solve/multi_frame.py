@@ -59,7 +59,7 @@ from smpltpu.energy import Camera, SkeletonSpec, keypoint_residuals
 from smpltpu.energy.params import frame_param_layout
 from smpltpu.energy.temporal import temporal_mask
 from smpltpu.solve.lm import _huber_rho, huber_correct_weight
-from smpltpu.solve.tridiag import block_tridiag_solve
+from smpltpu.solve.tridiag import block_tridiag_solve, block_tridiag_solve_cr
 
 
 class MultiFrameConfig(NamedTuple):
@@ -85,14 +85,22 @@ class MultiFrameConfig(NamedTuple):
     # per-iteration cost is the same as damped.
     dogleg: bool = True
     dogleg_init_radius: float = 1.0   # per-frame scale; total = this*sqrt(F)
-    # linear solver for the arrowhead GN system. "tridiag" (default):
-    # exact block-Cholesky elimination. "pcg": Jacobi-preconditioned
-    # conjugate gradient — every iteration is batched matvecs, fully
-    # parallel over frames; round-2 profiling measured the tridiag at 21
-    # of the 24 ms/LM-iteration on the bench workload (TPU small-matrix
-    # Cholesky is sequential), but PCG needs ~128 iterations to match the
-    # exact step's convergence quality, erasing the advantage — kept as
-    # an option and as the building block the sharded solver uses.
+    # linear solver for the arrowhead GN system. "tridiag" (default)/"cr":
+    # exact block elimination — "tridiag" = Thomas scan (~2F sequential
+    # batched factorizations), "cr" = cyclic reduction (ceil(log2 F)
+    # batched Cholesky levels; densified couplers after level 1).
+    # Measured on the 1000-frame bench (TPU v5e-1): cr 673 frames/s vs
+    # tridiag 644 — stage-1 (F=100) 122->97 ms, stage-2 (67x F=20 windows)
+    # 1430->1390 ms — so bench.py and the CLI's fast path pick "cr"
+    # explicitly. It is NOT the library default because its unrolled
+    # recursion makes XLA CPU compiles (the f64 test suite) many times
+    # slower; both exact modes give identical optima (dense-oracle tests).
+    # The small stage-2 delta also shows the round-2 "tridiag is 21 of
+    # 24 ms/iter" tunnel profile over-attributed the linear solve.
+    # "pcg": Jacobi-preconditioned conjugate gradient — batched matvecs
+    # only, fully parallel over frames, but needs ~128 iterations to match
+    # the exact step's convergence quality, erasing the advantage — kept
+    # as an option and as the building block the sharded solver uses.
     linear: str = "tridiag"
     cg_iters: int = 64
 
@@ -232,9 +240,12 @@ def build_multi_fitter(
 
         def arrow_tridiag(d_blocks, c_reg):
             """Exact solve of [T B; B^T C] d = -g: T y = g_p / T Y = B
-            (block-tridiag elimination), then the nS x nS Schur."""
+            (block-tridiag elimination — Thomas scan or cyclic reduction
+            per cfg.linear), then the nS x nS Schur."""
+            solver = (block_tridiag_solve_cr if cfg.linear == "cr"
+                      else block_tridiag_solve)
             rhs = jnp.concatenate([g_p[:, :, None], b_pw], axis=-1)
-            sol = block_tridiag_solve(d_blocks, off_scale, tmask, rhs)
+            sol = solver(d_blocks, off_scale, tmask, rhs)
             y = sol[:, :, 0]          # (F, P)   T^{-1} g_p
             cap_y = sol[:, :, 1:]     # (F, P, nS) T^{-1} B
             schur = c_reg - jnp.einsum("fps,fpt->st", b_pw, cap_y)

@@ -18,14 +18,18 @@ from smpltpu.energy.params import (
 from smpltpu.energy.reproj import project
 from smpltpu.models import SMPLModel
 from smpltpu.solve.multi_frame import MultiFrameConfig, build_multi_fitter
-from smpltpu.solve.tridiag import block_tridiag_solve
+from smpltpu.solve.tridiag import block_tridiag_solve, block_tridiag_solve_cr
 from smpltpu.utils import default_intrinsics
 
 W, H = 720, 1280
 
 
-def test_block_tridiag_matches_dense(rng):
-    f, p, r = 6, 9, 3
+@pytest.mark.parametrize("solver,f", [
+    ("scan", 6),
+    ("cr", 1), ("cr", 2), ("cr", 6), ("cr", 7), ("cr", 8), ("cr", 13),
+])
+def test_block_tridiag_matches_dense(rng, solver, f):
+    p, r = 9, 3
     mask = np.ones(p)
     mask[0] = 0.0
     blocks = []
@@ -46,8 +50,9 @@ def test_block_tridiag_matches_dense(rng):
         full[(i + 1) * p:(i + 2) * p, i * p:(i + 1) * p] = e
     x_dense = np.linalg.solve(full, rhs.reshape(f * p, r))
 
-    x = block_tridiag_solve(jnp.asarray(diag_blocks), jnp.asarray(off),
-                            jnp.asarray(mask), jnp.asarray(rhs))
+    fn = block_tridiag_solve if solver == "scan" else block_tridiag_solve_cr
+    x = fn(jnp.asarray(diag_blocks), jnp.asarray(off),
+           jnp.asarray(mask), jnp.asarray(rhs))
     np.testing.assert_allclose(np.asarray(x).reshape(f * p, r), x_dense,
                                atol=1e-8)
 
