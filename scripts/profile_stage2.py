@@ -85,15 +85,27 @@ def main():
     disp = bench_one(noop, jnp.zeros(())) * 1e3
     print(f"dispatch floor          {disp:7.1f} ms", file=sys.stderr)
 
-    for lin in ("cr", "tridiag", "pcg"):
+    variants = [
+        ("cr fixed60", dict(ftol=0.0, linear="cr")),
+        ("tridiag fixed60", dict(ftol=0.0, linear="tridiag")),
+        ("pcg64 fixed60", dict(ftol=0.0, linear="pcg")),
+        ("pcg128 fixed60", dict(ftol=0.0, linear="pcg", cg_iters=128)),
+        # early-exit machinery cost: same data, default ftol — the bench
+        # measured 1390 ms here vs 1144 fixed; decide if the vmapped
+        # while_loop any-unconverged exit pays for itself on this batch
+        ("cr earlyexit", dict(linear="cr")),
+    ]
+    for name, kw in variants:
         cfg = MultiFrameConfig(beta_pose=5.0, beta_shape=1e5,
-                               lambda_temporal=3.0, max_iters=iters,
-                               ftol=0.0, linear=lin)
+                               lambda_temporal=3.0, max_iters=iters, **kw)
         fit = build_multi_fitter(spec, cam, cfg, 10)
         bfit = jax.jit(jax.vmap(lambda a, b, c, d, e: fit(a, b, c, d, e)))
         dt = bench_one(bfit, p0, w0, kp, r0, fv)
-        print(f"full fit [{lin:7s}]     {dt * 1e3:7.1f} ms "
-              f"({dt / iters * 1e3:5.2f} ms/iter)", file=sys.stderr)
+        res = bfit(p0, w0, kp, r0, fv)
+        it_max = int(np.max(np.asarray(res.iters_run)))
+        print(f"full fit [{name:16s}] {dt * 1e3:7.1f} ms "
+              f"({dt / iters * 1e3:5.2f} ms/iter, max iters_run {it_max})",
+              file=sys.stderr)
 
     # ---- components; rebuild the closures build_multi_fitter uses ----
     from smpltpu.energy import keypoint_residuals
@@ -124,8 +136,8 @@ def main():
     def assemble(params, w, kpw, r0w):
         n_s = w.shape[0]
         p_dim = params.shape[-1]
-        eye_p = jnp.eye(p_dim, jnp.float32)
-        eye_w = jnp.eye(n_s, jnp.float32)
+        eye_p = jnp.eye(p_dim, dtype=jnp.float32)
+        eye_w = jnp.eye(n_s, dtype=jnp.float32)
         zer_p = jnp.zeros((n_s, p_dim), jnp.float32)
         zer_w = jnp.zeros((p_dim, n_s), jnp.float32)
 
@@ -155,7 +167,7 @@ def main():
     print(f"assembly (batch)        {dt * 1e3:7.1f} ms", file=sys.stderr)
 
     h_pp, b_pw, h_ww, g_p, g_w = jax_block(jasm(p0, w0, kp, r0))
-    d_blocks = h_pp + 1e-3 * jnp.eye(h_pp.shape[-1], jnp.float32)[None, None]
+    d_blocks = h_pp + 1e-3 * jnp.eye(h_pp.shape[-1], dtype=jnp.float32)[None, None]
     off = -jnp.ones((n_win, wsize - 1), jnp.float32) * (lam ** 2)
     rhs = jnp.concatenate([g_p[..., None], b_pw], axis=-1)
 

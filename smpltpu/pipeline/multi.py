@@ -77,9 +77,10 @@ def parse_args(argv):
         "resume": False, "profile": False, "metrics_jsonl": None,
         "init_from_anchors": False, "jax_render": False,
         "mesh": 0,  # 0 = auto (all visible devices), 1 = single-chip
-        # arrowhead linear solver (MultiFrameConfig.linear): "cr" is
-        # fastest on TPU (bench 644 -> 673 frames/s); "tridiag" default
-        # matches the library default
+        # arrowhead linear solver (MultiFrameConfig.linear): "pcg" is
+        # fastest on TPU (bench 671 -> 1382 frames/s at equal-or-better
+        # residual); "tridiag" default matches the library default (exact
+        # elimination, robust to arbitrary conditioning)
         "linear": "tridiag",
     }
     positional = ["max_iters_s1", "max_iters_s2", "skip", "wsize", "overlap",
