@@ -112,8 +112,10 @@ def main():
     # tests/test_multi_frame.py::test_pcg_matches_exact_solver); "tridiag"
     # stays the library default for exactness on arbitrary conditioning
     linear = os.environ.get("BENCH_LINEAR", "pcg")
+    cg_iters = int(os.environ.get("BENCH_CG_ITERS", "64"))
     cfg1 = MultiFrameConfig(beta_pose=5.0, beta_shape=25.0,
-                            lambda_temporal=3.0, max_iters=150, linear=linear)
+                            lambda_temporal=3.0, max_iters=150, linear=linear,
+                            cg_iters=cg_iters)
     if mesh is not None:
         # frames-sharded LM over the mesh; pad anchors to a mesh multiple
         pad = (-n_a) % n_dev
@@ -158,7 +160,8 @@ def main():
 
     # ---- stage 2: ALL windows, one vmapped batch, shape locked ----
     cfg = MultiFrameConfig(beta_pose=5.0, beta_shape=1e5, lambda_temporal=3.0,
-                           max_iters=S2_ITERS, linear=linear)
+                           max_iters=S2_ITERS, linear=linear,
+                           cg_iters=cg_iters)
     fit = build_multi_fitter(spec, cam, cfg, 10)
 
     pad_w = (-n_win) % n_dev if mesh is not None else 0
