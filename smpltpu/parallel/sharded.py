@@ -36,11 +36,12 @@ from smpltpu.constants import SCALE_MAX, SCALE_MIN
 from smpltpu.energy import Camera, SkeletonSpec, keypoint_residuals
 from smpltpu.energy.params import frame_param_layout
 from smpltpu.energy.temporal import temporal_mask
-from smpltpu.solve.lm import _huber_rho, huber_correct_weight
+from smpltpu.solve.lm import _huber_rho
 from smpltpu.solve.multi_frame import (
     MultiFrameConfig,
     MultiFrameResult,
     _pose_prior_sel,
+    corrected_frame_assembly,
 )
 
 
@@ -98,25 +99,14 @@ def build_sharded_gn_step(
     aa_slice = slice(lay["joint_aa"][0], lay["joint_aa"][1])
     n_dev = mesh.shape[axis]
 
-    def kp_res(p_f, w, kp_f, r0_f):
-        return keypoint_residuals(p_f, w, kp_f, cam, spec, r0_f)
-
     def local_assembly(params, w, kp, r0):
-        """Per-shard normal-equation pieces (no communication)."""
+        """Per-shard normal-equation pieces (no communication); shared
+        Huber-corrected assembly (closed-form geometric Jacobian by
+        default, solve/multi_frame.corrected_frame_assembly)."""
         def one(p_f, kp_f, r0_f):
-            # Huber-corrected residual with the weight inside the trace so
-            # the Jacobian carries the loss curvature (solve/lm.py)
-            def corrected(q, v):
-                r = kp_res(q, v, kp_f, r0_f)
-                blocks = r.reshape(-1, 2)
-                s = jnp.sum(blocks * blocks, axis=-1)
-                hw = huber_correct_weight(s, cfg.huber_delta)
-                return (blocks * hw[:, None]).reshape(-1)
-
-            r = corrected(p_f, w)
-            jp = jax.jacfwd(corrected, argnums=0)(p_f, w)
-            jw = jax.jacfwd(corrected, argnums=1)(p_f, w)
-            return jp.T @ jp, jp.T @ jw, jw.T @ jw, jp.T @ r, jw.T @ r
+            return corrected_frame_assembly(
+                p_f, w, kp_f, r0_f, cam, spec, cfg.huber_delta,
+                jacobian=getattr(cfg, "jacobian", "analytic"))
 
         return jax.vmap(one)(params, kp, r0)
 
@@ -313,20 +303,13 @@ def build_sharded_lm_fitter(
         return keypoint_residuals(p_f, w, kp_f, cam, spec, r0_f)
 
     def local_assembly(params, w, kp, r0):
+        """Per-shard normal-equation pieces (no communication); shared
+        Huber-corrected assembly (closed-form geometric Jacobian by
+        default, solve/multi_frame.corrected_frame_assembly)."""
         def one(p_f, kp_f, r0_f):
-            # Huber-corrected residual with the weight inside the trace so
-            # the Jacobian carries the loss curvature (solve/lm.py)
-            def corrected(q, v):
-                r = kp_res(q, v, kp_f, r0_f)
-                blocks = r.reshape(-1, 2)
-                s = jnp.sum(blocks * blocks, axis=-1)
-                hw = huber_correct_weight(s, cfg.huber_delta)
-                return (blocks * hw[:, None]).reshape(-1)
-
-            r = corrected(p_f, w)
-            jp = jax.jacfwd(corrected, argnums=0)(p_f, w)
-            jw = jax.jacfwd(corrected, argnums=1)(p_f, w)
-            return jp.T @ jp, jp.T @ jw, jw.T @ jw, jp.T @ r, jw.T @ r
+            return corrected_frame_assembly(
+                p_f, w, kp_f, r0_f, cam, spec, cfg.huber_delta,
+                jacobian=getattr(cfg, "jacobian", "analytic"))
 
         return jax.vmap(one)(params, kp, r0)
 

@@ -56,6 +56,7 @@ import numpy as np
 
 from smpltpu.constants import HUBER_DELTA, SCALE_MAX, SCALE_MIN
 from smpltpu.energy import Camera, SkeletonSpec, keypoint_residuals
+from smpltpu.energy.jacobian import keypoint_residuals_and_jacobian
 from smpltpu.energy.params import frame_param_layout
 from smpltpu.energy.temporal import temporal_mask
 from smpltpu.solve.lm import _huber_rho, huber_correct_weight
@@ -103,6 +104,14 @@ class MultiFrameConfig(NamedTuple):
     # as an option and as the building block the sharded solver uses.
     linear: str = "tridiag"
     cg_iters: int = 64
+    # Jacobian assembly. "analytic": closed-form geometric Jacobian
+    # (energy/jacobian.py — rigid-subtree cross products + shape prefix
+    # recursion, ~2 FK-equivalent passes) with the Huber correction applied
+    # as a rank-1 per-block update; "jvp": the round-1 jax.linearize + 86
+    # batched JVP pushes. Identical to machine precision
+    # (tests/test_jacobian.py pins both the raw Jacobians in f64 and the
+    # full-fitter optima).
+    jacobian: str = "analytic"
 
 
 class MultiFrameState(NamedTuple):
@@ -137,6 +146,65 @@ def _pose_prior_sel(n_joints: int, dtype) -> jnp.ndarray:
     sel = np.zeros(lay["total"])
     sel[lay["joint_aa"][0]:lay["joint_aa"][1]] = 1.0
     return jnp.asarray(sel, dtype)
+
+
+def corrected_frame_assembly(p_f, w, kp_f, r0_f, cam, spec, huber_delta,
+                             jacobian="analytic"):
+    """One frame's normal-equation pieces for the Huber-CORRECTED keypoint
+    residuals c = sqrt(rho(s)/s) r — weight inside the linearization so the
+    Jacobian carries the loss curvature (solve/lm.py module docstring).
+    Returns (J_p^T J_p, J_p^T J_w, J_w^T J_w, J_p^T c, J_w^T c).
+
+    ``jacobian="analytic"``: closed-form geometric Jacobian
+    (energy/jacobian.py), corrected per 2-row block by the rank-1 rule
+    J_c = hw J + 2 hw'(s) b (b^T J) with hw' traced through the same
+    guards autodiff sees. ``"jvp"``: the round-1 linearize + batched JVP
+    pushes. Machine-precision identical (tests/test_jacobian.py); shared
+    by the single-chip multi-frame solver and both sharded assemblies."""
+    p_dim = p_f.shape[-1]
+    n_s = w.shape[0]
+    if jacobian == "analytic":
+        r_raw, jp_raw, jw_raw = keypoint_residuals_and_jacobian(
+            p_f, w, kp_f, cam, spec, r0_f)
+        blocks = r_raw.reshape(-1, 2)
+        s = jnp.sum(blocks * blocks, axis=-1)
+        hw = huber_correct_weight(s, huber_delta)
+        # d hw / d s by FORWARD mode: reverse-mode grad of the s<=delta^2
+        # guard divides by s_safe^2 = 1e-48, which UNDERFLOWS to 0 in f32
+        # and yields 0/0 = NaN on masked rows (s=0) — exactly the padded
+        # window/anchor rows, whose NaN h_pp would poison the sharded
+        # psum. JVP uses u'/v - (u/v)(v'/v) (no v^2), matching what the
+        # "jvp" assembly path differentiates; hwp(0) = 0.
+        _, hwp = jax.jvp(lambda t: huber_correct_weight(t, huber_delta),
+                         (s,), (jnp.ones_like(s),))
+        jp_b = jp_raw.reshape(-1, 2, p_dim)
+        jw_b = jw_raw.reshape(-1, 2, n_s)
+        btj_p = jnp.einsum("kc,kcp->kp", blocks, jp_b)
+        btj_w = jnp.einsum("kc,kcs->ks", blocks, jw_b)
+        jp = (hw[:, None, None] * jp_b
+              + 2.0 * hwp[:, None, None] * blocks[:, :, None]
+              * btj_p[:, None, :]).reshape(-1, p_dim)
+        jw = (hw[:, None, None] * jw_b
+              + 2.0 * hwp[:, None, None] * blocks[:, :, None]
+              * btj_w[:, None, :]).reshape(-1, n_s)
+        r = (blocks * hw[:, None]).reshape(-1)
+        return jp.T @ jp, jp.T @ jw, jw.T @ jw, jp.T @ r, jw.T @ r
+
+    def corrected(q, v):
+        r = keypoint_residuals(q, v, kp_f, cam, spec, r0_f)
+        blocks = r.reshape(-1, 2)
+        s = jnp.sum(blocks * blocks, axis=-1)
+        hw = huber_correct_weight(s, huber_delta)
+        return (blocks * hw[:, None]).reshape(-1)
+
+    eye_p = jnp.eye(p_dim, dtype=p_f.dtype)
+    eye_w = jnp.eye(n_s, dtype=p_f.dtype)
+    zer_p = jnp.zeros((n_s, p_dim), dtype=p_f.dtype)
+    zer_w = jnp.zeros((p_dim, n_s), dtype=p_f.dtype)
+    r, f_jvp = jax.linearize(corrected, p_f, w)
+    jp = jax.vmap(f_jvp)(eye_p, zer_w).T                 # (2K, P)
+    jw = jax.vmap(f_jvp)(zer_p, eye_w).T                 # (2K, nS)
+    return jp.T @ jp, jp.T @ jw, jw.T @ jw, jp.T @ r, jw.T @ r
 
 
 def build_multi_fitter(
@@ -180,30 +248,10 @@ def build_multi_fitter(
         """Assemble gradient and Hessian pieces of the weighted problem."""
         f_dim = params.shape[0]
 
-        n_s = w.shape[0]
-        p_dim_l = params.shape[-1]
-        eye_p = jnp.eye(p_dim_l, dtype=params.dtype)
-        eye_w = jnp.eye(n_s, dtype=params.dtype)
-        zer_p = jnp.zeros((n_s, p_dim_l), dtype=params.dtype)
-        zer_w = jnp.zeros((p_dim_l, n_s), dtype=params.dtype)
-
         def one_frame(p_f, kp_f, r0_f):
-            # one linearize of the Huber-CORRECTED residual (weight inside
-            # the trace so the Jacobian carries the loss curvature — see
-            # solve/lm.py module docstring), both Jacobians via batched
-            # JVP pushes: a single FK trace instead of three
-            def corrected(q, v):
-                r = kp_res(q, v, kp_f, r0_f)
-                blocks = r.reshape(-1, 2)
-                s = jnp.sum(blocks * blocks, axis=-1)
-                hw = huber_correct_weight(s, cfg.huber_delta)
-                return (blocks * hw[:, None]).reshape(-1)
-
-            r, f_jvp = jax.linearize(corrected, p_f, w)
-            jp = jax.vmap(f_jvp)(eye_p, zer_w).T                 # (2K, P)
-            jw = jax.vmap(f_jvp)(zer_p, eye_w).T                 # (2K, nS)
-            return (jp.T @ jp, jp.T @ jw, jw.T @ jw,
-                    jp.T @ r, jw.T @ r)
+            return corrected_frame_assembly(
+                p_f, w, kp_f, r0_f, cam, spec, cfg.huber_delta,
+                jacobian=cfg.jacobian)
 
         h_pp, b_pw, h_ww, g_p, g_w = jax.vmap(one_frame)(params, kp, r0)
         # (F,P,P), (F,P,nS), (F,nS,nS), (F,P), (F,nS)
