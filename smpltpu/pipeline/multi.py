@@ -53,6 +53,7 @@ from smpltpu.pipeline.common import (
     save_params,
 )
 from smpltpu.solve import MultiFrameConfig, build_multi_fitter
+from smpltpu.utils.ckpt import load_checkpoint, save_checkpoint
 from smpltpu.utils.obs import MetricsLogger, profile_trace
 
 USAGE = """usage: python -m smpltpu.pipeline.multi <SMPL.npz> <kps_folder> <image_folder> <out_dir>
@@ -82,6 +83,9 @@ def parse_args(argv):
         # residual); "tridiag" default matches the library default (exact
         # elimination, robust to arbitrary conditioning)
         "linear": "tridiag",
+        # checkpoint backend (utils/ckpt.py): "npz" (atomic single file,
+        # default) or "orbax" (JAX-ecosystem PyTree directory)
+        "ckpt_backend": "npz",
     }
     positional = ["max_iters_s1", "max_iters_s2", "skip", "wsize", "overlap",
                   "beta_pose", "beta_shape", "lambda_t"]
@@ -110,6 +114,8 @@ def parse_args(argv):
             opts["pose_prior"] = rest.pop(0)
         elif a == "--linear" and rest:
             opts["linear"] = rest.pop(0)
+        elif a == "--ckpt-backend" and rest:
+            opts["ckpt_backend"] = rest.pop(0)
         elif pos_idx < len(positional):
             key = positional[pos_idx]
             opts[key] = int(float(a)) if key in ints else float(a)
@@ -185,12 +191,13 @@ def main(argv=None) -> int:
 
     # checkpoint/resume (framework extension; the reference's 'resume' is
     # accidental log-append only, SURVEY.md section 5 checkpoint row)
-    ckpt_path = os.path.join(opts["out_dir"], "checkpoint_multi.npz")
+    ckpt_base = os.path.join(opts["out_dir"], "checkpoint_multi")
     ck = None
-    if opts["resume"] and os.path.isfile(ckpt_path):
-        ck = dict(np.load(ckpt_path))
-        print(f"[INFO] resuming from {ckpt_path} "
-              f"(next window start {int(ck['next_start'])})")
+    if opts["resume"]:
+        ck = load_checkpoint(ckpt_base, backend="auto")
+        if ck is not None:
+            print(f"[INFO] resuming from {ckpt_base}.* "
+                  f"(next window start {int(ck['next_start'])})")
 
     rendered = np.zeros(n_frames, dtype=bool)
     # r0 accumulates write-backs; r0_fit[i] is the R0 in effect when
@@ -322,8 +329,11 @@ def main(argv=None) -> int:
                 jnp.asarray(valid))
 
     def save_ckpt(next_start):
-        np.savez(ckpt_path, poses=poses, r0=r0, r0_fit=r0_fit,
-                 shape_w=shape_w, rendered=rendered, next_start=next_start)
+        save_checkpoint(ckpt_base,
+                        dict(poses=poses, r0=r0, r0_fit=r0_fit,
+                             shape_w=shape_w, rendered=rendered,
+                             next_start=np.int64(next_start)),
+                        backend=opts["ckpt_backend"])
 
     def finish_window(s, e, fitted, ms_win, r0_solve):
         """Write-back + logging + render for one solved window.
