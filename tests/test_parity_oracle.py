@@ -108,6 +108,43 @@ def _polish_improvement(c_ours, c_polished):
     return (c_ours - c_polished) / max(c_ours, 1e-12)
 
 
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _cached_polish(name, key, compute):
+    """Memoize a scipy polish on the EXACT solver optimum it started from.
+
+    The polishes dominate the suite's runtime (the 6-frame window TRF run
+    alone is ~35 min: grouped finite differences over a 460-dim problem).
+    Their inputs are fully deterministic (seeded synthetic model + the
+    mounted video1 keypoints), so the optimum our solver returns moves
+    ONLY when the solver changes. The committed golden npz stores
+    {key_*: the optimum polished, val_*: scipy's result}; it is reused
+    only when the current optimum matches the stored key to 1e-7 —
+    otherwise the full scipy run happens live (still-correct slow path)
+    and SMPLTPU_WRITE_GOLDEN=1 refreshes the file. Every ASSERTION stays
+    live either way: costs/px errors are recomputed from the cached
+    polished point, never cached themselves.
+    """
+    path = os.path.join(GOLDEN_DIR, f"oracle_golden_{name}.npz")
+    if os.path.isfile(path):
+        g = dict(np.load(path))
+        if all(np.allclose(g["key_" + k], v, rtol=0, atol=1e-7)
+               for k, v in key.items()):
+            return {n[4:]: v for n, v in g.items() if n.startswith("val_")}
+        import warnings
+        warnings.warn(
+            f"{path} is stale (solver optimum moved) — running the full "
+            "scipy polish; refresh with SMPLTPU_WRITE_GOLDEN=1")
+    out = compute()
+    if os.environ.get("SMPLTPU_WRITE_GOLDEN"):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.savez(path,
+                 **{f"key_{k}": np.asarray(v) for k, v in key.items()},
+                 **{f"val_{k}": np.asarray(v) for k, v in out.items()})
+    return out
+
+
 @needs_fixture
 def test_single_frame_pose_certificate(rig):
     """Layer 2, pose-only path on real video1 keypoints: scipy polish
@@ -131,9 +168,12 @@ def test_single_frame_pose_certificate(rig):
                                        beta_pose=2.0)
         # our jitted cost and the oracle's must agree (same objective)
         np.testing.assert_allclose(c_ours, best_cost[k], rtol=1e-8)
-        xp, _ = ORC.fit_single_frame(
-            prob_o, kp[i], best_x[k], beta_pose=2.0,
-            frozen_joints=FIXED_JOINTS_POSE_ONLY, max_nfev=4000)
+        xp = _cached_polish(
+            f"single_pose_f{i}", dict(x=best_x[k]),
+            lambda: dict(xp=ORC.fit_single_frame(
+                prob_o, kp[i], best_x[k], beta_pose=2.0,
+                frozen_joints=FIXED_JOINTS_POSE_ONLY, max_nfev=4000)[0]),
+        )["xp"]
         c_pol = ORC.single_frame_cost(prob_o, xp, None, kp[i], beta_pose=2.0)
         imp = _polish_improvement(c_ours, c_pol)
         assert imp < 0.01, (i, c_ours, c_pol, imp)
@@ -165,9 +205,14 @@ def test_single_frame_shape_certificate(rig):
                                    beta_pose=2.0, beta_shape=5.0,
                                    opt_shape=True)
     np.testing.assert_allclose(c_ours, best_cost[0], rtol=1e-8)
-    xp, wp = ORC.fit_single_frame(
-        prob_o, kp[i], x_ours, beta_pose=2.0, beta_shape=5.0,
-        shape0=w_ours, opt_shape=True, max_nfev=6000)
+    def _polish():
+        xp, wp = ORC.fit_single_frame(
+            prob_o, kp[i], x_ours, beta_pose=2.0, beta_shape=5.0,
+            shape0=w_ours, opt_shape=True, max_nfev=6000)
+        return dict(xp=xp, wp=wp)
+
+    pol = _cached_polish("single_shape", dict(x=x_ours, w=w_ours), _polish)
+    xp, wp = pol["xp"], pol["wp"]
     c_pol = ORC.single_frame_cost(prob_o, xp, wp, kp[i], beta_pose=2.0,
                                   beta_shape=5.0, opt_shape=True)
     assert _polish_improvement(c_ours, c_pol) < 0.01, (c_ours, c_pol)
@@ -197,9 +242,13 @@ def test_single_frame_real_gmm_certificate(rig):
     c_ours = ORC.single_frame_cost(prob_o, best_x[0], None, kp[i],
                                    beta_pose=2.0, gmm=gmm_o)
     np.testing.assert_allclose(c_ours, best_cost[0], rtol=1e-6)
-    xp, _ = ORC.fit_single_frame(
-        prob_o, kp[i], best_x[0], beta_pose=2.0,
-        frozen_joints=FIXED_JOINTS_POSE_ONLY, gmm=gmm_o, max_nfev=4000)
+    xp = _cached_polish(
+        "single_gmm", dict(x=best_x[0]),
+        lambda: dict(xp=ORC.fit_single_frame(
+            prob_o, kp[i], best_x[0], beta_pose=2.0,
+            frozen_joints=FIXED_JOINTS_POSE_ONLY, gmm=gmm_o,
+            max_nfev=4000)[0]),
+    )["xp"]
     c_pol = ORC.single_frame_cost(prob_o, xp, None, kp[i], beta_pose=2.0,
                                   gmm=gmm_o)
     assert _polish_improvement(c_ours, c_pol) < 0.01, (c_ours, c_pol)
@@ -231,9 +280,14 @@ def test_multi_frame_window_certificate(rig):
                                   beta_pose=5.0, beta_shape=25.0,
                                   lambda_t=3.0)
     np.testing.assert_allclose(c_ours, float(res.cost), rtol=1e-8)
-    xsp, wp = ORC.fit_multi_frame(
-        prob_o, kp[frames], xs_ours, w_ours, r0b, beta_pose=5.0,
-        beta_shape=25.0, lambda_t=3.0, freeze_scale=True, max_nfev=3000)
+    def _polish():
+        xsp, wp = ORC.fit_multi_frame(
+            prob_o, kp[frames], xs_ours, w_ours, r0b, beta_pose=5.0,
+            beta_shape=25.0, lambda_t=3.0, freeze_scale=True, max_nfev=3000)
+        return dict(xsp=xsp, wp=wp)
+
+    pol = _cached_polish("window", dict(xs=xs_ours, w=w_ours), _polish)
+    xsp, wp = pol["xsp"], pol["wp"]
     c_pol = ORC.multi_frame_cost(prob_o, xsp, wp, kp[frames], r0b,
                                  beta_pose=5.0, beta_shape=25.0, lambda_t=3.0)
     assert _polish_improvement(c_ours, c_pol) < 0.01, (c_ours, c_pol)
