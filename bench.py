@@ -113,9 +113,10 @@ def main():
     # stays the library default for exactness on arbitrary conditioning
     linear = os.environ.get("BENCH_LINEAR", "pcg")
     cg_iters = int(os.environ.get("BENCH_CG_ITERS", "64"))
+    cg_unroll = int(os.environ.get("BENCH_CG_UNROLL", "1"))
     cfg1 = MultiFrameConfig(beta_pose=5.0, beta_shape=25.0,
                             lambda_temporal=3.0, max_iters=150, linear=linear,
-                            cg_iters=cg_iters)
+                            cg_iters=cg_iters, cg_unroll=cg_unroll)
     if mesh is not None:
         # frames-sharded LM over the mesh; pad anchors to a mesh multiple
         pad = (-n_a) % n_dev
@@ -161,7 +162,7 @@ def main():
     # ---- stage 2: ALL windows, one vmapped batch, shape locked ----
     cfg = MultiFrameConfig(beta_pose=5.0, beta_shape=1e5, lambda_temporal=3.0,
                            max_iters=S2_ITERS, linear=linear,
-                           cg_iters=cg_iters)
+                           cg_iters=cg_iters, cg_unroll=cg_unroll)
     fit = build_multi_fitter(spec, cam, cfg, 10)
 
     pad_w = (-n_win) % n_dev if mesh is not None else 0
@@ -228,7 +229,11 @@ def main():
         # (solver throughput, same boundary as the reference's time_ms)
         # is unchanged. Render res matches BASELINE's rasterizer row
         # (~130k px): the 720x1280 camera scaled by 0.375 -> 270x480.
-        from smpltpu.models import smpl_forward
+        from smpltpu.ops.lbs import (
+            joint_affines,
+            lbs_pallas,
+            prepare_lbs_operands,
+        )
         from smpltpu.pipeline.common import params_to_pose
         from smpltpu.render.pallas_raster import pick_cap, rasterize_tiled
 
@@ -246,14 +251,25 @@ def main():
         fxr, fyr, cxr, cyr = (float(c) * s_r for c in cam)
         r0j = jnp.asarray(r0c)
 
-        def frame_verts(p):
-            pose = params_to_pose(p, r0j, model.num_joints)
-            return smpl_forward(model, shp, pose.rotations, pose.root_pos,
-                                want_verts=True)["verts"]
-
+        # fully fused forward: O(nJ) FK on XLA (precomputed joint-shape
+        # regressor, no vertex work) + the Pallas fused blendshape+LBS
+        # kernel for the 6890-vert skinning (ops/lbs.py)
         CH = 100
-        vfirst = np.asarray(jax.jit(jax.vmap(frame_verts))(
-            jnp.asarray(frame_params[:CH])))
+        ops_lbs = prepare_lbs_operands(model)
+        n_v = model.num_verts
+        shp_tile = jnp.tile(shp[None].astype(jnp.float32), (CH, 1))
+
+        def one_affine(p):
+            pose = params_to_pose(p, r0j, model.num_joints)
+            return joint_affines(model, shp, pose.rotations,
+                                 pose.root_pos)[0]
+
+        def chunk_verts(pchunk):
+            g_aff = jax.vmap(one_affine)(pchunk)
+            verts = lbs_pallas(shp_tile, g_aff, ops_lbs)   # (CH, 3, nPad)
+            return jnp.transpose(verts[:, :, :n_v], (0, 2, 1))
+
+        vfirst = np.asarray(jax.jit(chunk_verts)(jnp.asarray(frame_params[:CH])))
         mc, bc = 1, 64
         for k in range(0, CH, 25):
             m, b = pick_cap(vfirst[k], np.asarray(model.faces),
@@ -262,7 +278,7 @@ def main():
         faces_j = jnp.asarray(np.asarray(model.faces, np.int32))
 
         def render_chunk(pchunk):
-            vs = jax.vmap(frame_verts)(pchunk)
+            vs = chunk_verts(pchunk)
             return jax.vmap(lambda v: rasterize_tiled(
                 v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
                 max_chunks=mc, big_cap=bc)[0])(vs)

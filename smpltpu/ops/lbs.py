@@ -156,13 +156,22 @@ def lbs_pallas(
 
 def joint_affines(model, shape, rotations, root_pos):
     """Per-joint world affine transforms (nJ, 3, 4) feeding lbs_pallas —
-    the FK stage of smpl_forward, exposed so callers can fuse FK (tiny)
-    on XLA and skinning (the hot op) on Pallas. vmap over batch."""
+    the FK stage of smpl_forward, exposed so callers can fuse FK on XLA
+    and skinning (the hot op) on Pallas. vmap over batch.
+
+    The FK stage here is O(nJ), not O(nV): rest joints come from the
+    precomputed reduced regressor ``joint_shape_reg = J_reg @ shapedirs``
+    (the reference's jointShapeReg, Sim3BA.h:417) instead of regressing
+    the full shaped vertex cloud — identical math by linearity
+    (J_reg @ (v_t + S·w) = J_reg@v_t + (J_reg@S)·w), so the only O(nV)
+    work left in the fused forward is the skinning kernel itself. Pinned
+    against smpl_forward in tests/test_ops.py."""
     from smpltpu.models.smpl import _fk_global
 
-    v_shaped = model.v_template + jnp.einsum(
-        "vxs,...s->...vx", model.shapedirs, shape)
-    joints_rest = jnp.einsum("jv,...vx->...jx", model.J_regressor, v_shaped)
+    n_j = model.num_joints
+    jrt = jnp.einsum("jv,vx->jx", model.J_regressor, model.v_template)
+    jsr = model.joint_shape_reg.reshape(n_j, 3, -1)
+    joints_rest = jrt + jnp.einsum("jxs,...s->...jx", jsr, shape)
     g, joints_local = _fk_global(model.parents, rotations, joints_rest)
     t = (joints_local - jnp.einsum("...jab,...jb->...ja", g, joints_rest)
          + root_pos[..., None, :])

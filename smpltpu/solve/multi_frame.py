@@ -104,6 +104,7 @@ class MultiFrameConfig(NamedTuple):
     # as an option and as the building block the sharded solver uses.
     linear: str = "tridiag"
     cg_iters: int = 64
+    cg_unroll: int = 1
     # Jacobian assembly. "analytic": closed-form geometric Jacobian
     # (energy/jacobian.py — rigid-subtree cross products + shape prefix
     # recursion, ~2 FK-equivalent passes) with the Huber correction applied
@@ -341,11 +342,29 @@ def build_multi_fitter(
                 return (x_p, x_w, r_p, r_w, z_p + beta * d_p,
                         z_w + beta * d_w, rho_n)
 
+            # the loop is latency/overhead-bound at ~78 us/step (ROADMAP
+            # bf16 experiment), so unrolling trades code size for trip
+            # overhead; cg_unroll=1 keeps the round-2 shipping behavior
             c = jax.lax.fori_loop(0, cfg.cg_iters, body,
-                                  (x_p, x_w, r_p, r_w, z_p, z_w, rho))
+                                  (x_p, x_w, r_p, r_w, z_p, z_w, rho),
+                                  unroll=cfg.cg_unroll)
             return c[0], c[1]
 
-        arrow_solve = arrow_pcg if cfg.linear == "pcg" else arrow_tridiag
+        def arrow_pcg_kernel(d_blocks, c_reg):
+            """Same Jacobi-PCG recursion, but ALL cg_iters iterations run
+            inside one Pallas program with the window system VMEM-resident
+            (ops/cg.py) — removes the ~78 us/iteration scheduling overhead
+            of the fori_loop formulation. f32 on-kernel (matches the TPU
+            production dtype); interpret mode off-TPU."""
+            from smpltpu.ops.cg import arrow_pcg_pallas
+            return arrow_pcg_pallas(
+                d_blocks, off_scale, tmask, b_pw, c_reg, g_p, g_w,
+                iters=cfg.cg_iters,
+                interpret=jax.default_backend() == "cpu")
+
+        arrow_solve = {"pcg": arrow_pcg,
+                       "pcg_kernel": arrow_pcg_kernel}.get(
+            cfg.linear, arrow_tridiag)
 
         def hmul(v_p, v_w):
             """Undamped Hessian application (blockwise)."""
