@@ -76,7 +76,7 @@ def parse_args(argv):
         "lambda_t": 3.0, "s2_iters": S2_ITERS_DEFAULT,
         "batched_windows": False, "pose_prior": None,
         "resume": False, "profile": False, "metrics_jsonl": None,
-        "init_from_anchors": False, "jax_render": False,
+        "init_from_anchors": False, "jax_render": False, "data_init": False,
         "mesh": 0,  # 0 = auto (all visible devices), 1 = single-chip
         # arrowhead linear solver (MultiFrameConfig.linear): "pcg" is
         # fastest on TPU (bench 671 -> 1382 frames/s at equal-or-better
@@ -100,6 +100,8 @@ def parse_args(argv):
             opts["resume"] = True
         elif a == "--init-from-anchors":
             opts["init_from_anchors"] = True
+        elif a == "--data-init":
+            opts["data_init"] = True
         elif a == "--jax-render":
             opts["jax_render"] = True
         elif a == "--profile":
@@ -181,6 +183,17 @@ def main(argv=None) -> int:
                make_skeleton_spec(model, init_root_rotation(), with_shape=True))
     kp = ds["kp_batch"].astype(np.float32)
     poses = np.tile(np.asarray(init_frame_params(dtype=dtype)), (n_frames, 1))
+    if opts["data_init"]:
+        # framework extension (NOT reference behavior, which inits every
+        # frame blindly at s=1, t=(0,0,3) — main_multi_frame.cpp:88-102):
+        # closed-form per-frame depth/translation from the detections
+        # (solve/init.py). Seeds BOTH stage-1 anchors and the stage-2
+        # window starts, attacking the cold-init basin lottery the single
+        # CLI's --multi-start addresses (docs/ROADMAP.md accuracy row).
+        from smpltpu.solve.init import estimate_frame_init, rest_joints_cam
+        rest = rest_joints_cam(spec)
+        for f in range(n_frames):
+            poses[f] = estimate_frame_init(kp[f], rest, cam).astype(np.float32)
     r0 = np.tile(np.asarray(init_root_rotation(), dtype=np.float32),
                  (n_frames, 1, 1))
     shape_w = np.zeros(model.num_shapes, dtype=np.float32)

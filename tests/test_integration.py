@@ -145,3 +145,41 @@ def test_stage2_batched_vs_sequential_on_video1(tmp_path):
     assert e_anch <= max(1.2 * e_seq, e_seq + 1.0), (e_seq, e_bat, e_anch)
     # and the batched paths must both be sane fits at this resolution
     assert e_bat < 40.0 and e_anch < 40.0, (e_seq, e_bat, e_anch)
+
+
+@pytest.mark.skipif(not os.path.isdir(VIDEO1_KPS),
+                    reason="reference fixture not mounted")
+def test_multi_cli_data_init_on_video1(tmp_path):
+    """--data-init (framework extension): closed-form per-frame depth/
+    translation init from the detections seeds stage-1 anchors and the
+    stage-2 window starts. On the real video1 keypoints it must not hurt
+    the anchors and must keep the whole fit sane (the blind reference
+    init is the basin-lottery documented in solve/init.py)."""
+    from smpltpu.pipeline import multi as multi_cli
+
+    model_path = str(tmp_path / "model.npz")
+    save_smpl_npz(model_path, make_synthetic_model(n_verts=300, seed=0))
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(0, 380, 10):
+        imwrite(str(img_dir / f"frame_{i:04d}.png"),
+                np.zeros((64, 36, 3), np.uint8))
+
+    n_anchor = len(range(0, 38, 5))
+
+    def run(tag, extra):
+        out = str(tmp_path / tag)
+        rc = multi_cli.main([model_path, VIDEO1_KPS, str(img_dir), out,
+                             "60", "60", "5", "8", "2", "2.0", "25.0",
+                             "1.0", "--s2-iters", "25"] + extra)
+        assert rc == 0
+        rows = open(os.path.join(out, "log.csv")).read().splitlines()[1:]
+        errs = np.array([float(r.split(",")[1]) for r in rows])
+        return float(errs[:n_anchor].mean()), float(errs[n_anchor:].mean())
+
+    a_blind, w_blind = run("blind", [])
+    a_di, w_di = run("di", ["--data-init"])
+    # anchors: the data-driven init must be at least as good as blind
+    # (small tolerance: both are converged solves of the same problem)
+    assert a_di <= a_blind * 1.05 + 0.5, (a_blind, a_di)
+    assert w_di < 40.0, (w_blind, w_di)
