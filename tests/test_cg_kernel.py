@@ -154,3 +154,23 @@ def test_fitter_pcg_kernel_matches_pcg(rng):
         outs[lin] = fit(p0, jnp.zeros(10, jnp.float32), kp, r0)
     np.testing.assert_allclose(float(outs["pcg_kernel"].cost),
                                float(outs["pcg"].cost), rtol=5e-3)
+
+
+def test_multi_cli_linear_pcg_kernel(tmp_path, rng):
+    """--linear pcg_kernel plumbs through the multi CLI (interpret-mode
+    kernel on CPU) and produces a sane fit."""
+    import os
+
+    from smpltpu.pipeline import multi as multi_cli
+    from tests.test_pipeline import _make_dataset
+
+    model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng, empty_frames=())
+    out = str(tmp_path / "o_kern")
+    rc = multi_cli.main([model_path, kp_dir, img_dir, out,
+                         "30", "30", "3", "4", "1", "2.0", "25.0", "1.0",
+                         "--s2-iters", "10", "--linear", "pcg_kernel"])
+    assert rc == 0
+    log = open(os.path.join(out, "log.csv")).read().splitlines()
+    errs = [float(r.split(",")[1]) for r in log[4:]]
+    import numpy as np
+    assert np.mean(errs) < 25.0
