@@ -39,7 +39,8 @@ PP = 128  # padded frame-param dim (P = 76 zero-extended; lane width)
 
 def _cg_kernel(d_ref, b_ref, c_ref, offp_ref, offm_ref, tm_ref,
                gp_ref, gw_ref, dinv_ref, cinv_ref,
-               dp_ref, dw_ref, *, iters: int, n_s: int, f_dim: int):
+               dp_ref, dw_ref, *, iters: int, n_s: int, f_dim: int,
+               matvec_mode: str = "batched"):
     """One window's full PCG solve. Shapes (all f32, zero-padded to PP):
 
     d    (F, PP, PP)  symmetric damped GN diag blocks
@@ -65,10 +66,18 @@ def _cg_kernel(d_ref, b_ref, c_ref, offp_ref, offm_ref, tm_ref,
     zrow = jnp.zeros((1, PP), f32)
 
     def matvec(v_p, v_w):
-        # block-diagonal: batched (PP, PP) @ (PP,) over frames (MXU)
-        u = jax.lax.dot_general(
-            d, v_p, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)
+        # block-diagonal: batched (PP, PP) @ (PP,) over frames (MXU).
+        # "unrolled" is the Mosaic fallback: F static (1, PP) @ (PP, PP)
+        # row-dots concatenated (D is symmetric, so row-form == col-form).
+        if matvec_mode == "batched":
+            u = jax.lax.dot_general(
+                d, v_p, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)
+        else:
+            u = jnp.concatenate(
+                [jnp.dot(v_p[f:f + 1, :], d_ref[f],
+                         preferred_element_type=f32)
+                 for f in range(f_dim)], axis=0)
         # tridiagonal stencil: E_f = offp[f] * diag(tm)
         v_up = jnp.concatenate([v_p[1:], zrow], axis=0)
         v_dn = jnp.concatenate([zrow, v_p[:-1]], axis=0)
@@ -111,7 +120,8 @@ def _cg_kernel(d_ref, b_ref, c_ref, offp_ref, offm_ref, tm_ref,
 
 
 def arrow_pcg_pallas(d_blocks, off_scale, tmask, b_pw, c_reg, g_p, g_w,
-                     iters: int = 64, interpret: bool = False):
+                     iters: int = 64, interpret: bool = False,
+                     matvec_mode: str | None = None):
     """Drop-in f32 replacement for solve/multi_frame.arrow_pcg.
 
     d_blocks (F, P, P), off_scale (F-1,), tmask (P,), b_pw (F, P, nS),
@@ -142,7 +152,11 @@ def arrow_pcg_pallas(d_blocks, off_scale, tmask, b_pw, c_reg, g_p, g_w,
     dinv = jnp.pad(dinv, ((0, 0), (0, pad_p)))
     cinv = (1.0 / jnp.maximum(jnp.diagonal(c), 1e-20))[:, None]
 
-    kern = functools.partial(_cg_kernel, iters=iters, n_s=n_s, f_dim=f_dim)
+    if matvec_mode is None:
+        import os
+        matvec_mode = os.environ.get("SMPLTPU_CG_MATVEC", "batched")
+    kern = functools.partial(_cg_kernel, iters=iters, n_s=n_s, f_dim=f_dim,
+                             matvec_mode=matvec_mode)
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     dp, dw = pl.pallas_call(
         kern,

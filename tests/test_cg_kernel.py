@@ -174,3 +174,17 @@ def test_multi_cli_linear_pcg_kernel(tmp_path, rng):
     errs = [float(r.split(",")[1]) for r in log[4:]]
     import numpy as np
     assert np.mean(errs) < 25.0
+
+
+def test_kernel_unrolled_matvec_matches_batched(rng):
+    """The Mosaic-fallback unrolled row-dot matvec must equal the batched
+    dot_general formulation."""
+    s = _random_system(rng)
+    a = arrow_pcg_pallas(*map(jnp.asarray, s), iters=16, interpret=True,
+                         matvec_mode="batched")
+    b = arrow_pcg_pallas(*map(jnp.asarray, s), iters=16, interpret=True,
+                         matvec_mode="unrolled")
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               rtol=1e-5, atol=1e-6)
