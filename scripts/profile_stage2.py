@@ -90,6 +90,10 @@ def main():
         ("tridiag fixed60", dict(ftol=0.0, linear="tridiag")),
         ("pcg64 fixed60", dict(ftol=0.0, linear="pcg")),
         ("pcg128 fixed60", dict(ftol=0.0, linear="pcg", cg_iters=128)),
+        # whole-PCG-in-VMEM Pallas kernel (ops/cg.py) + the XLA-loop
+        # unroll knob — the round-2 latency-bound hypotheses
+        ("pcgkern64 fixed60", dict(ftol=0.0, linear="pcg_kernel")),
+        ("pcg64 unroll4 fixed60", dict(ftol=0.0, linear="pcg", cg_unroll=4)),
         # early-exit machinery cost: same data, default ftol — the bench
         # measured 1390 ms here vs 1144 fixed; decide if the vmapped
         # while_loop any-unconverged exit pays for itself on this batch
