@@ -22,6 +22,11 @@ def _run_dryrun(extra_env):
     if os.path.isdir(AXON_SITE):
         pythonpath += os.pathsep + AXON_SITE
     env["PYTHONPATH"] = pythonpath
+    # share the suite's persistent XLA cache with the subprocess (the
+    # in-process tests get it from conftest's jax.config.update)
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
     env.update(extra_env)
     return subprocess.run(
         [sys.executable, "-c",

@@ -67,7 +67,10 @@ def test_single_pipeline_on_video1_fixture(tmp_path):
 def test_bench_smoke():
     """bench.py must print exactly one valid JSON line on stdout (driver
     contract), even on the CPU backend with a reduced frame count."""
-    env = dict(os.environ, BENCH_FRAMES="60", JAX_PLATFORMS="cpu")
+    env = dict(os.environ, BENCH_FRAMES="60", JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR=os.path.join(
+                   os.path.dirname(os.path.abspath(__file__)), ".xla_cache"),
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5")
     env.pop("PYTHONPATH", None)
     proc = subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True,
