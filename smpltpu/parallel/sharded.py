@@ -106,7 +106,7 @@ def build_sharded_gn_step(
         def one(p_f, kp_f, r0_f):
             return corrected_frame_assembly(
                 p_f, w, kp_f, r0_f, cam, spec, cfg.huber_delta,
-                jacobian=getattr(cfg, "jacobian", "analytic"))
+                jacobian=cfg.jacobian)
 
         return jax.vmap(one)(params, kp, r0)
 
@@ -309,7 +309,7 @@ def build_sharded_lm_fitter(
         def one(p_f, kp_f, r0_f):
             return corrected_frame_assembly(
                 p_f, w, kp_f, r0_f, cam, spec, cfg.huber_delta,
-                jacobian=getattr(cfg, "jacobian", "analytic"))
+                jacobian=cfg.jacobian)
 
         return jax.vmap(one)(params, kp, r0)
 

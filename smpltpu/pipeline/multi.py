@@ -116,8 +116,16 @@ def parse_args(argv):
             opts["pose_prior"] = rest.pop(0)
         elif a == "--linear" and rest:
             opts["linear"] = rest.pop(0)
+            if opts["linear"] not in ("tridiag", "cr", "pcg", "pcg_kernel"):
+                print(f"--linear must be tridiag|cr|pcg|pcg_kernel, got "
+                      f"{opts['linear']!r}", file=sys.stderr)
+                return None
         elif a == "--ckpt-backend" and rest:
             opts["ckpt_backend"] = rest.pop(0)
+            if opts["ckpt_backend"] not in ("npz", "orbax"):
+                print(f"--ckpt-backend must be npz|orbax, got "
+                      f"{opts['ckpt_backend']!r}", file=sys.stderr)
+                return None
         elif pos_idx < len(positional):
             key = positional[pos_idx]
             opts[key] = int(float(a)) if key in ints else float(a)

@@ -362,9 +362,22 @@ def build_multi_fitter(
                 iters=cfg.cg_iters,
                 interpret=jax.default_backend() == "cpu")
 
+        lin = cfg.linear
+        if lin not in ("tridiag", "cr", "pcg", "pcg_kernel"):
+            raise ValueError(f"unknown linear solver {cfg.linear!r} "
+                             "(tridiag | cr | pcg | pcg_kernel)")
+        if lin == "pcg_kernel" and params.shape[0] > 96:
+            # VMEM guard: the kernel holds the whole (F, 128, 128) system
+            # on-chip (~65 KB/frame for D alone); past ~96 frames it would
+            # exceed the ~16 MB/core VMEM at compile time. Long single-
+            # window solves (e.g. stage-1 over all anchors) fall back to
+            # the XLA pcg loop; the kernel targets the window-sized
+            # systems it was built for.
+            lin = "pcg"
         arrow_solve = {"pcg": arrow_pcg,
-                       "pcg_kernel": arrow_pcg_kernel}.get(
-            cfg.linear, arrow_tridiag)
+                       "pcg_kernel": arrow_pcg_kernel,
+                       "tridiag": arrow_tridiag,
+                       "cr": arrow_tridiag}[lin]
 
         def hmul(v_p, v_w):
             """Undamped Hessian application (blockwise)."""

@@ -47,11 +47,24 @@ def save_checkpoint(path_base: str, tree: Dict[str, np.ndarray],
                   file=sys.stderr)
             backend = "npz"
         else:
+            # crash-safe directory swap: write the new checkpoint BESIDE
+            # the old one, then two renames — a kill at any point leaves
+            # either the old dir at `path` or (between the renames) at
+            # `path + ".old"`, which load_checkpoint falls back to. Never
+            # delete the only copy before the replacement exists (the
+            # rmtree-first version lost all resume state on a mid-save
+            # crash — the exact case checkpointing exists for).
             path = _orbax_path(path_base)
-            if os.path.isdir(path):
-                shutil.rmtree(path)
+            tmp, old = path + ".tmp", path + ".old"
+            for d in (tmp, old):
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
             with ocp.PyTreeCheckpointer() as ckptr:
-                ckptr.save(path, {k: np.asarray(v) for k, v in tree.items()})
+                ckptr.save(tmp, {k: np.asarray(v) for k, v in tree.items()})
+            if os.path.isdir(path):
+                os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
             return path
     if backend != "npz":
         raise ValueError(f"unknown checkpoint backend {backend!r}")
@@ -65,17 +78,40 @@ def save_checkpoint(path_base: str, tree: Dict[str, np.ndarray],
 
 def load_checkpoint(path_base: str,
                     backend: str = "auto") -> Optional[Dict[str, np.ndarray]]:
-    """Restore the dict saved by save_checkpoint; None if nothing exists."""
+    """Restore the dict saved by save_checkpoint; None if nothing exists.
+
+    backend="auto" picks the NEWER artifact when both formats exist (a
+    run that switched --ckpt-backend between resumes must not restore the
+    stale one), and recovers the ``.old`` directory a crash mid-swap can
+    leave behind.
+    """
     opath, npath = _orbax_path(path_base), _npz_path(path_base)
+    if not os.path.isdir(opath) and os.path.isdir(opath + ".old"):
+        os.rename(opath + ".old", opath)  # finish an interrupted swap
     if backend == "auto":
-        backend = ("orbax" if os.path.isdir(opath)
-                   else "npz" if os.path.isfile(npath) else None)
-        if backend is None:
+        have_o, have_n = os.path.isdir(opath), os.path.isfile(npath)
+        if have_o and have_n:
+            backend = ("orbax" if os.path.getmtime(opath)
+                       >= os.path.getmtime(npath) else "npz")
+        elif have_o or have_n:
+            backend = "orbax" if have_o else "npz"
+        else:
             return None
     if backend == "orbax":
         if not os.path.isdir(opath):
             return None
-        import orbax.checkpoint as ocp
+        try:
+            import orbax.checkpoint as ocp
+        except Exception:
+            # symmetric with save_checkpoint's fallback: degrade to the
+            # npz artifact when one exists rather than dying on import
+            if os.path.isfile(npath):
+                print("[WARN] orbax not importable; restoring the npz "
+                      "checkpoint instead", file=sys.stderr)
+                return dict(np.load(npath))
+            raise RuntimeError(
+                f"checkpoint {opath} needs orbax.checkpoint, which is not "
+                "importable here, and no npz fallback exists")
         with ocp.PyTreeCheckpointer() as ckptr:
             out = ckptr.restore(opath)
         return {k: np.asarray(v) for k, v in out.items()}

@@ -188,3 +188,23 @@ def test_kernel_unrolled_matvec_matches_batched(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_unknown_linear_raises(rng):
+    """A typoed MultiFrameConfig.linear must raise, not silently fall back
+    to tridiag (review finding: mislabeled benchmark measurements)."""
+    import pytest
+
+    model = SMPLModel.from_dict(make_synthetic_model(n_verts=100, seed=0),
+                                dtype=jnp.float32)
+    cam = default_intrinsics(64, 64, dtype=jnp.float32)
+    spec = make_skeleton_spec(model, init_root_rotation(), with_shape=True)
+    cfg = MultiFrameConfig(beta_pose=1.0, beta_shape=1.0,
+                           lambda_temporal=1.0, max_iters=1,
+                           linear="pcg-kernel")
+    kp = jnp.zeros((2, 17, 4), jnp.float32)
+    p0 = jnp.tile(init_frame_params(dtype=jnp.float32), (2, 1))
+    r0 = jnp.tile(jnp.asarray(init_root_rotation(), jnp.float32), (2, 1, 1))
+    with pytest.raises(ValueError, match="unknown linear solver"):
+        fit = build_multi_fitter(spec, cam, cfg, 10, dtype=jnp.float32)
+        fit(p0, jnp.zeros(10, jnp.float32), kp, r0)

@@ -65,3 +65,77 @@ def test_multi_cli_orbax_resume(tmp_path, rng):
     assert ck is not None and int(ck["next_start"]) > 0
     # resume consumes the checkpoint without error (all windows done)
     assert multi_cli.main(args + ["--resume"]) == 0
+
+
+def test_orbax_crash_swap_recovery(tmp_path, rng, monkeypatch):
+    """A kill between the two swap renames leaves only ck.orbax.old; the
+    next load must recover it (crash-safety review finding)."""
+    pytest.importorskip("orbax.checkpoint")
+    base = str(tmp_path / "ck")
+    tree = _tree(rng)
+    path = save_checkpoint(base, tree, backend="orbax")
+    os.rename(path, path + ".old")      # simulate the crash window
+    out = load_checkpoint(base, backend="auto")
+    assert out is not None and int(out["next_start"]) == 15
+    assert os.path.isdir(path)          # swap finished by the loader
+
+
+def test_orbax_save_keeps_old_on_failure(tmp_path, rng, monkeypatch):
+    """If the orbax save itself dies, the previous checkpoint must
+    survive (no rmtree-before-write)."""
+    ocp = pytest.importorskip("orbax.checkpoint")
+    base = str(tmp_path / "ck")
+    tree = _tree(rng)
+    save_checkpoint(base, tree, backend="orbax")
+
+    class Boom:
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+        def save(self, *a, **k):
+            raise RuntimeError("simulated mid-save crash")
+
+    monkeypatch.setattr(ocp, "PyTreeCheckpointer", Boom)
+    with pytest.raises(RuntimeError):
+        save_checkpoint(base, _tree(rng), backend="orbax")
+    monkeypatch.undo()
+    out = load_checkpoint(base, backend="auto")
+    np.testing.assert_array_equal(out["poses"], tree["poses"])
+
+
+def test_auto_prefers_newer_artifact(tmp_path, rng):
+    """auto must restore the NEWER checkpoint when both formats exist
+    (backend switched between resumes)."""
+    pytest.importorskip("orbax.checkpoint")
+    base = str(tmp_path / "ck")
+    t_old = _tree(rng)
+    t_new = dict(_tree(rng), next_start=np.int64(80))
+    p_orbax = save_checkpoint(base, t_old, backend="orbax")
+    save_checkpoint(base, t_new, backend="npz")
+    os.utime(p_orbax, (1, 1))           # orbax artifact is older
+    out = load_checkpoint(base, backend="auto")
+    assert int(out["next_start"]) == 80
+
+
+def test_load_orbax_falls_back_to_npz_when_gated(tmp_path, rng, monkeypatch):
+    """orbax artifact present but orbax unimportable: degrade to the npz
+    artifact instead of an ImportError (mirrors the save-side fallback)."""
+    pytest.importorskip("orbax.checkpoint")
+    import sys
+    base = str(tmp_path / "ck")
+    save_checkpoint(base, _tree(rng), backend="orbax")
+    t_npz = dict(_tree(rng), next_start=np.int64(42))
+    save_checkpoint(base, t_npz, backend="npz")
+    monkeypatch.setitem(sys.modules, "orbax", None)
+    monkeypatch.setitem(sys.modules, "orbax.checkpoint", None)
+    out = load_checkpoint(base, backend="orbax")
+    assert int(out["next_start"]) == 42
+
+
+def test_cli_rejects_bad_backend():
+    from smpltpu.pipeline import multi as multi_cli
+    assert multi_cli.parse_args(["a", "b", "c", "d",
+                                 "--ckpt-backend", "orbx"]) is None
+    assert multi_cli.parse_args(["a", "b", "c", "d",
+                                 "--linear", "pcg-kernel"]) is None
