@@ -105,6 +105,14 @@ class MultiFrameConfig(NamedTuple):
     linear: str = "tridiag"
     cg_iters: int = 64
     cg_unroll: int = 1
+    # fused_cost=True: ONE residual evaluation per LM iteration — the
+    # candidate's cost comes out of its own normal-equation assembly
+    # (||corrected residual||^2 == the Huber cost by construction), and
+    # the accepted assembly is carried in the loop state instead of being
+    # recomputed next iteration. Trades a wasted assembly on REJECTED
+    # steps (rare under dogleg) for dropping the separate cost pass on
+    # every step. Same optima (tests/test_fused_cost.py); opt-in.
+    fused_cost: bool = False
     # Jacobian assembly. "analytic": closed-form geometric Jacobian
     # (energy/jacobian.py — rigid-subtree cross products + shape prefix
     # recursion, ~2 FK-equivalent passes) with the Huber correction applied
@@ -150,7 +158,7 @@ def _pose_prior_sel(n_joints: int, dtype) -> jnp.ndarray:
 
 
 def corrected_frame_assembly(p_f, w, kp_f, r0_f, cam, spec, huber_delta,
-                             jacobian="analytic"):
+                             jacobian="analytic", with_cost=False):
     """One frame's normal-equation pieces for the Huber-CORRECTED keypoint
     residuals c = sqrt(rho(s)/s) r — weight inside the linearization so the
     Jacobian carries the loss curvature (solve/lm.py module docstring).
@@ -189,7 +197,13 @@ def corrected_frame_assembly(p_f, w, kp_f, r0_f, cam, spec, huber_delta,
               + 2.0 * hwp[:, None, None] * blocks[:, :, None]
               * btj_w[:, None, :]).reshape(-1, n_s)
         r = (blocks * hw[:, None]).reshape(-1)
-        return jp.T @ jp, jp.T @ jw, jw.T @ jw, jp.T @ r, jw.T @ r
+        out = (jp.T @ jp, jp.T @ jw, jw.T @ jw, jp.T @ r, jw.T @ r)
+        if with_cost:
+            # ||c||^2 == rho(s) by construction of the corrected residual
+            # (hw = sqrt(rho/s)) — the frame's Huber keypoint cost for
+            # free, enabling the fused one-eval-per-iteration loop
+            out = out + (jnp.sum(hw * hw * s),)
+        return out
 
     def corrected(q, v):
         r = keypoint_residuals(q, v, kp_f, cam, spec, r0_f)
@@ -205,7 +219,10 @@ def corrected_frame_assembly(p_f, w, kp_f, r0_f, cam, spec, huber_delta,
     r, f_jvp = jax.linearize(corrected, p_f, w)
     jp = jax.vmap(f_jvp)(eye_p, zer_w).T                 # (2K, P)
     jw = jax.vmap(f_jvp)(zer_p, eye_w).T                 # (2K, nS)
-    return jp.T @ jp, jp.T @ jw, jw.T @ jw, jp.T @ r, jw.T @ r
+    out = (jp.T @ jp, jp.T @ jw, jw.T @ jw, jp.T @ r, jw.T @ r)
+    if with_cost:
+        out = out + (jnp.sum(r * r),)
+    return out
 
 
 def build_multi_fitter(
@@ -245,17 +262,29 @@ def build_multi_fitter(
         c_temp = jnp.sum((lam * pair_w)[:, None] ** 2 * diff * diff)
         return 0.5 * (c_kp + c_pose + c_shape + c_temp)
 
-    def normal_eq(params, w, kp, r0, pair_w):
-        """Assemble gradient and Hessian pieces of the weighted problem."""
+    def normal_eq(params, w, kp, r0, pair_w, with_cost=False):
+        """Assemble gradient and Hessian pieces of the weighted problem.
+        with_cost=True additionally returns the total objective at
+        (params, w) — term-for-term the same expression as cost_fn, with
+        the keypoint part read off the corrected residuals the assembly
+        already computed (fused_cost path)."""
         f_dim = params.shape[0]
 
         def one_frame(p_f, kp_f, r0_f):
             return corrected_frame_assembly(
                 p_f, w, kp_f, r0_f, cam, spec, cfg.huber_delta,
-                jacobian=cfg.jacobian)
+                jacobian=cfg.jacobian, with_cost=with_cost)
 
-        h_pp, b_pw, h_ww, g_p, g_w = jax.vmap(one_frame)(params, kp, r0)
+        pieces = jax.vmap(one_frame)(params, kp, r0)
+        h_pp, b_pw, h_ww, g_p, g_w = pieces[:5]
         # (F,P,P), (F,P,nS), (F,nS,nS), (F,P), (F,nS)
+        cost = None
+        if with_cost:
+            c_pose = bp * bp * jnp.sum(params[:, aa_slice] ** 2)
+            c_shape = bs * bs * jnp.sum(w * w)
+            cdiff = (params[:-1] - params[1:]) * tmask
+            c_temp = jnp.sum((lam * pair_w)[:, None] ** 2 * cdiff * cdiff)
+            cost = 0.5 * (jnp.sum(pieces[5]) + c_pose + c_shape + c_temp)
 
         # pose prior (linear): H += bp^2 diag(psel); g += bp^2 * sel*params
         h_pp = h_pp + (bp * bp) * jnp.diag(psel)[None]
@@ -280,12 +309,18 @@ def build_multi_fitter(
                     + jnp.diag(1.0 - m)[None])
             b_pw = b_pw * m[None, :, None]
             g_p = g_p * m[None, :]
-        return h_pp, off_scale, b_pw, c_ww, g_p, g_w_tot
+        asm = (h_pp, off_scale, b_pw, c_ww, g_p, g_w_tot)
+        return (asm, cost) if with_cost else asm
 
-    def step(state: MultiFrameState, inp):
+    def step(state: MultiFrameState, inp, asm=None):
+        """One trust-region iteration. When ``asm`` is given (fused_cost
+        loop) it is the assembly AT state.params carried from the previous
+        iteration; the return gains the assembly to carry next."""
         kp, r0, pair_w = inp
         params, w = state.params, state.shape
-        h_pp, off_scale, b_pw, c_ww, g_p, g_w = normal_eq(params, w, kp, r0, pair_w)
+        if asm is None:
+            asm = normal_eq(params, w, kp, r0, pair_w)
+        h_pp, off_scale, b_pw, c_ww, g_p, g_w = asm
 
         def arrow_tridiag(d_blocks, c_reg):
             """Exact solve of [T B; B^T C] d = -g: T y = g_p / T Y = B
@@ -443,7 +478,11 @@ def build_multi_fitter(
                 jnp.clip(params_new[:, 0], SCALE_MIN, SCALE_MAX))
         dp = params_new - params  # actual step after projection
         w_new = w + dw
-        cost_new = cost_fn(params_new, w_new, kp, r0, pair_w)
+        if cfg.fused_cost:
+            asm_new, cost_new = normal_eq(params_new, w_new, kp, r0,
+                                          pair_w, with_cost=True)
+        else:
+            cost_new = cost_fn(params_new, w_new, kp, r0, pair_w)
 
         # model decrease from the undamped quadratic
         hd, hd_w = hmul(dp, dw)
@@ -491,6 +530,10 @@ def build_multi_fitter(
             n_accepted=state.n_accepted + do_move.astype(jnp.int32),
             iters_run=state.iters_run + (1 - state.converged.astype(jnp.int32)),
         )
+        if cfg.fused_cost:
+            asm_keep = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(do_move, b, a), asm, asm_new)
+            return new_state, asm_keep, new_state.cost
         return new_state, new_state.cost
 
     def fit(params0, shape0, kp, r0, frame_valid=None):
@@ -504,12 +547,20 @@ def build_multi_fitter(
         n_valid = jnp.maximum(jnp.sum(frame_valid), 1.0)
         r0_init = (cfg.dogleg_init_radius * jnp.sqrt(n_valid.astype(dtype))
                    if cfg.dogleg else jnp.asarray(cfg.init_radius, dtype))
+        if cfg.fused_cost:
+            asm0, cost0 = normal_eq(params0.astype(dtype),
+                                    shape0.astype(dtype), kp, r0, pair_w,
+                                    with_cost=True)
+        else:
+            asm0 = None
+            cost0 = cost_fn(params0.astype(dtype), shape0.astype(dtype),
+                            kp, r0, pair_w)
         init = MultiFrameState(
             params=params0.astype(dtype),
             shape=shape0.astype(dtype),
             radius=r0_init.astype(dtype),
             decrease_factor=jnp.asarray(2.0, dtype),
-            cost=cost_fn(params0.astype(dtype), shape0.astype(dtype), kp, r0, pair_w),
+            cost=cost0,
             converged=jnp.asarray(False),
             n_accepted=jnp.asarray(0, jnp.int32),
             iters_run=jnp.asarray(0, jnp.int32),
@@ -523,6 +574,21 @@ def build_multi_fitter(
         # carried as a preallocated buffer (post-exit slots hold the final
         # cost so downstream loss curves stay monotone-flat).
         hist0 = jnp.full((cfg.max_iters,), init.cost, dtype)
+
+        if cfg.fused_cost:
+            def cond_f(carry):
+                st, _, it, _ = carry
+                return (it < cfg.max_iters) & jnp.logical_not(st.converged)
+
+            def body_f(carry):
+                st, asm, it, hist = carry
+                st2, asm2, c = step(st, (kp, r0, pair_w), asm=asm)
+                hist = jnp.where(jnp.arange(cfg.max_iters) >= it, c, hist)
+                return st2, asm2, it + 1, hist
+
+            final, _, _, costs = jax.lax.while_loop(
+                cond_f, body_f, (init, asm0, jnp.asarray(0, jnp.int32), hist0))
+            return MultiFrameResult(*final, cost_history=costs)
 
         def cond(carry):
             st, it, _ = carry
