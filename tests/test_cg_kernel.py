@@ -208,3 +208,44 @@ def test_unknown_linear_raises(rng):
     with pytest.raises(ValueError, match="unknown linear solver"):
         fit = build_multi_fitter(spec, cam, cfg, 10, dtype=jnp.float32)
         fit(p0, jnp.zeros(10, jnp.float32), kp, r0)
+
+
+def test_vmem_guard_skips_kernel_past_96_frames(rng, monkeypatch):
+    """linear="pcg_kernel" with F > 96 must route to the XLA pcg loop
+    (VMEM guard) — and must still use the kernel at window sizes."""
+    import smpltpu.solve.multi_frame as mf
+
+    calls = {"n": 0}
+    import smpltpu.ops.cg as cg
+
+    real = cg.arrow_pcg_pallas
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(cg, "arrow_pcg_pallas", spy)
+
+    model = SMPLModel.from_dict(make_synthetic_model(n_verts=100, seed=0),
+                                dtype=jnp.float32)
+    cam = default_intrinsics(64, 64, dtype=jnp.float32)
+    spec = make_skeleton_spec(model, init_root_rotation(), with_shape=True)
+    cfg = MultiFrameConfig(beta_pose=1.0, beta_shape=1.0,
+                           lambda_temporal=1.0, max_iters=1,
+                           linear="pcg_kernel", cg_iters=4)
+
+    def run(f):
+        kp = np.zeros((f, 17, 4), np.float32)
+        kp[:, :, 0] = USE_SMPL
+        kp[:, :, 1:3] = 32.0
+        kp[:, :, 3] = 1.0
+        p0 = jnp.tile(init_frame_params(dtype=jnp.float32), (f, 1))
+        r0 = jnp.tile(jnp.asarray(init_root_rotation(), jnp.float32),
+                      (f, 1, 1))
+        fit = build_multi_fitter(spec, cam, cfg, 10, dtype=jnp.float32)
+        fit(p0, jnp.zeros(10, jnp.float32), jnp.asarray(kp), r0)
+
+    run(100)                      # guard: kernel must NOT be used
+    assert calls["n"] == 0
+    run(8)                        # window-sized: kernel IS used
+    assert calls["n"] > 0
