@@ -215,10 +215,12 @@ class OracleProblem:
         _, r = self._pred_uv(x, shape, kp_dense)
         s = np.sum(r * r, axis=-1)
         d2 = HUBER_DELTA * HUBER_DELTA
-        w = np.where(s > d2,
-                     np.sqrt((2.0 * HUBER_DELTA * np.sqrt(np.maximum(s, 1e-300))
-                              - d2) / np.maximum(s, 1e-300)),
-                     1.0)
+        # np.where evaluates both branches: clamp the numerator so the
+        # unused s <= d2 side never feeds sqrt a negative (for s > d2 the
+        # numerator is > d2 > 0, so the clamp is inert on the used branch)
+        num = np.maximum(
+            2.0 * HUBER_DELTA * np.sqrt(np.maximum(s, 1e-300)) - d2, 0.0)
+        w = np.where(s > d2, np.sqrt(num / np.maximum(s, 1e-300)), 1.0)
         return r * w[:, None]
 
     def mean_px_error(self, x, shape, kp_dense) -> float:
