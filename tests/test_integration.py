@@ -111,38 +111,58 @@ def test_fit_video_one_command(tmp_path):
         pass
 
 
-@pytest.mark.skipif(not os.path.isdir(VIDEO1_KPS),
-                    reason="reference fixture not mounted")
-def test_stage2_batched_vs_sequential_on_video1(tmp_path):
-    """VERDICT round-1 item 9: quantify the documented stage-2 divergence
-    on REAL data. --batched-windows drops the sequential init chain (all
-    windows start from the post-stage-1 snapshot); --init-from-anchors
-    must close the gap to within 20% of the sequential path's error."""
-    from smpltpu.pipeline import multi as multi_cli
+N_ANCHOR_V1 = len(range(0, 38, 5))
 
-    model_path = str(tmp_path / "model.npz")
+
+@pytest.fixture(scope="module")
+def v1_multi_env(tmp_path_factory):
+    """Shared video1 multi-CLI dataset (model npz + blank frame images)."""
+    root = tmp_path_factory.mktemp("v1multi")
+    model_path = str(root / "model.npz")
     save_smpl_npz(model_path, make_synthetic_model(n_verts=300, seed=0))
-    img_dir = tmp_path / "imgs"
+    img_dir = root / "imgs"
     img_dir.mkdir()
     for i in range(0, 380, 10):
         imwrite(str(img_dir / f"frame_{i:04d}.png"),
                 np.zeros((64, 36, 3), np.uint8))
+    return root, model_path, str(img_dir)
 
-    def run(tag, extra):
-        out = str(tmp_path / tag)
-        rc = multi_cli.main([model_path, VIDEO1_KPS, str(img_dir), out,
-                             "60", "60", "5", "8", "2", "2.0", "25.0",
-                             "1.0", "--s2-iters", "25"] + extra)
-        assert rc == 0
-        rows = open(os.path.join(out, "log.csv")).read().splitlines()[1:]
-        # window rows only (skip the anchor rows logged by stage 1)
-        n_anchor = len(range(0, 38, 5))
-        errs = np.array([float(r.split(",")[1]) for r in rows[n_anchor:]])
-        return float(np.mean(errs))
 
-    e_seq = run("seq", [])
-    e_bat = run("bat", ["--batched-windows"])
-    e_anch = run("anch", ["--batched-windows", "--init-from-anchors"])
+def _run_v1_multi(env, tag, extra):
+    """Run the multi CLI on video1 with the shared base argv; return
+    (anchor-row mean err, window-row mean err)."""
+    from smpltpu.pipeline import multi as multi_cli
+
+    root, model_path, img_dir = env
+    out = str(root / tag)
+    rc = multi_cli.main([model_path, VIDEO1_KPS, img_dir, out,
+                         "60", "60", "5", "8", "2", "2.0", "25.0",
+                         "1.0", "--s2-iters", "25"] + extra)
+    assert rc == 0
+    rows = open(os.path.join(out, "log.csv")).read().splitlines()[1:]
+    errs = np.array([float(r.split(",")[1]) for r in rows])
+    return float(errs[:N_ANCHOR_V1].mean()), float(errs[N_ANCHOR_V1:].mean())
+
+
+@pytest.fixture(scope="module")
+def v1_base_run(v1_multi_env):
+    """The sequential no-flag run, shared by the two tests below (it is
+    both the 'seq' baseline and the 'blind-init' baseline — identical
+    argv, deterministic solver)."""
+    return _run_v1_multi(v1_multi_env, "base", [])
+
+
+@pytest.mark.skipif(not os.path.isdir(VIDEO1_KPS),
+                    reason="reference fixture not mounted")
+def test_stage2_batched_vs_sequential_on_video1(v1_multi_env, v1_base_run):
+    """VERDICT round-1 item 9: quantify the documented stage-2 divergence
+    on REAL data. --batched-windows drops the sequential init chain (all
+    windows start from the post-stage-1 snapshot); --init-from-anchors
+    must close the gap to within 20% of the sequential path's error."""
+    e_seq = v1_base_run[1]
+    _, e_bat = _run_v1_multi(v1_multi_env, "bat", ["--batched-windows"])
+    _, e_anch = _run_v1_multi(v1_multi_env, "anch",
+                              ["--batched-windows", "--init-from-anchors"])
     # the raw batched path may diverge from sequential (documented);
     # anchors-warm-started batching must be competitive with sequential
     assert e_anch <= max(1.2 * e_seq, e_seq + 1.0), (e_seq, e_bat, e_anch)
@@ -152,36 +172,14 @@ def test_stage2_batched_vs_sequential_on_video1(tmp_path):
 
 @pytest.mark.skipif(not os.path.isdir(VIDEO1_KPS),
                     reason="reference fixture not mounted")
-def test_multi_cli_data_init_on_video1(tmp_path):
+def test_multi_cli_data_init_on_video1(v1_multi_env, v1_base_run):
     """--data-init (framework extension): closed-form per-frame depth/
     translation init from the detections seeds stage-1 anchors and the
     stage-2 window starts. On the real video1 keypoints it must not hurt
     the anchors and must keep the whole fit sane (the blind reference
     init is the basin-lottery documented in solve/init.py)."""
-    from smpltpu.pipeline import multi as multi_cli
-
-    model_path = str(tmp_path / "model.npz")
-    save_smpl_npz(model_path, make_synthetic_model(n_verts=300, seed=0))
-    img_dir = tmp_path / "imgs"
-    img_dir.mkdir()
-    for i in range(0, 380, 10):
-        imwrite(str(img_dir / f"frame_{i:04d}.png"),
-                np.zeros((64, 36, 3), np.uint8))
-
-    n_anchor = len(range(0, 38, 5))
-
-    def run(tag, extra):
-        out = str(tmp_path / tag)
-        rc = multi_cli.main([model_path, VIDEO1_KPS, str(img_dir), out,
-                             "60", "60", "5", "8", "2", "2.0", "25.0",
-                             "1.0", "--s2-iters", "25"] + extra)
-        assert rc == 0
-        rows = open(os.path.join(out, "log.csv")).read().splitlines()[1:]
-        errs = np.array([float(r.split(",")[1]) for r in rows])
-        return float(errs[:n_anchor].mean()), float(errs[n_anchor:].mean())
-
-    a_blind, w_blind = run("blind", [])
-    a_di, w_di = run("di", ["--data-init"])
+    a_blind, w_blind = v1_base_run
+    a_di, w_di = _run_v1_multi(v1_multi_env, "di", ["--data-init"])
     # anchors: the data-driven init must be at least as good as blind
     # (small tolerance: both are converged solves of the same problem)
     assert a_di <= a_blind * 1.05 + 0.5, (a_blind, a_di)

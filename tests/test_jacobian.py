@@ -56,14 +56,18 @@ def test_matches_jacfwd(small_model_dict, rng, with_shape):
     kp = jnp.asarray(kp)
     r0f = jnp.asarray(np.asarray(init_root_rotation(), np.float64))
 
-    res_a, jp_a, jw_a = keypoint_residuals_and_jacobian(p, w, kp, cam, spec, r0f)
+    # jit with (cam, spec) in the closure — spec.parents is static numpy
+    # (it shapes the unrolled FK chain); eager this test ran 15-19 s
+    res_a, jp_a, jw_a = jax.jit(
+        lambda a, b, c, d: keypoint_residuals_and_jacobian(
+            a, b, c, cam, spec, d))(p, w, kp, r0f)
 
     def f(q, v):
         return keypoint_residuals(q, v, kp, cam, spec, r0f)
 
     res_r = f(p, w)
-    jp_r = jax.jacfwd(f, argnums=0)(p, w)
-    jw_r = jax.jacfwd(f, argnums=1)(p, w)
+    jp_r = jax.jit(jax.jacfwd(f, argnums=0))(p, w)
+    jw_r = jax.jit(jax.jacfwd(f, argnums=1))(p, w)
     np.testing.assert_allclose(res_a, res_r, atol=1e-12)
     np.testing.assert_allclose(jp_a, jp_r, atol=1e-10)
     np.testing.assert_allclose(jw_a, jw_r, atol=1e-10)
@@ -86,12 +90,14 @@ def test_z_guard_branch(small_model_dict, rng):
     kp[:, 3] = 1.0
     kp = jnp.asarray(kp)
     r0f = jnp.asarray(np.asarray(init_root_rotation(), np.float64))
-    res_a, jp_a, jw_a = keypoint_residuals_and_jacobian(p, w, kp, cam, spec, r0f)
+    res_a, jp_a, jw_a = jax.jit(
+        lambda a, b, c, d: keypoint_residuals_and_jacobian(
+            a, b, c, cam, spec, d))(p, w, kp, r0f)
 
     def f(q, v):
         return keypoint_residuals(q, v, kp, cam, spec, r0f)
 
-    jp_r = jax.jacfwd(f, argnums=0)(p, w)
+    jp_r = jax.jit(jax.jacfwd(f, argnums=0))(p, w)
     assert np.isfinite(np.asarray(jp_a)).all()
     np.testing.assert_allclose(jp_a, jp_r, atol=1e-8)
 
@@ -115,8 +121,11 @@ def test_padded_row_assembly_is_zero_f32(small_model_dict):
     kp = jnp.zeros((N_KP_SLOTS, 4), jnp.float32)
     r0 = jnp.eye(3, dtype=jnp.float32)
     for jac in ("analytic", "jvp"):
-        out = corrected_frame_assembly(p, w, kp, r0, cam, spec, 3.0,
-                                       jacobian=jac)
+        # jit (vs the eager dispatch this ran as at first): same f32
+        # underflow semantics, ~30x faster and persistently cached
+        fn = jax.jit(lambda a, b, c, d, _j=jac: corrected_frame_assembly(
+            a, b, c, d, cam, spec, 3.0, jacobian=_j))
+        out = fn(p, w, kp, r0)
         for name, t in zip(["h_pp", "b_pw", "h_ww", "g_p", "g_w"], out):
             arr = np.asarray(t)
             assert np.isfinite(arr).all(), (jac, name)
