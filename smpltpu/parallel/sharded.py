@@ -27,7 +27,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
-import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -259,7 +258,7 @@ def build_sharded_lm_fitter(
     cam: Camera,
     cfg: MultiFrameConfig,
     n_shapes: int,
-    cg_iters: int = 64,
+    cg_iters: int | None = None,
     axis: str = "frames",
     dtype=jnp.float32,
 ):
@@ -285,7 +284,14 @@ def build_sharded_lm_fitter(
     the mesh size (pad with frame_valid=0 rows + masked keypoints).
     Mesh-invariance (1 vs 8 devices) and agreement with the single-chip
     fitter are pinned in tests/test_parallel.py.
+
+    The linear solve is ALWAYS the distributed halo-exchange PCG — an
+    exact block-tridiagonal elimination is sequential across the frame
+    shards, so ``cfg.linear`` does not apply here; ``cfg.cg_iters`` is
+    honored (the explicit ``cg_iters`` argument overrides it).
     """
+    if cg_iters is None:
+        cg_iters = cfg.cg_iters
     n_joints = len(spec.parents)
     lay = frame_param_layout(n_joints)
     p_dim = lay["total"]

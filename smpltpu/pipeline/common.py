@@ -57,6 +57,14 @@ def load_dataset(smpl_path: str, kps_folder: str, img_folder: str,
     # model spec: a real npz path, a registry name (female/male/neutral),
     # or synthetic[:n] (smpltpu/models/registry.py)
     if os.path.isfile(smpl_path):
+        from smpltpu.models.registry import _is_lfs_stub
+        if _is_lfs_stub(smpl_path):
+            # the reference repo ships exactly such stubs in assets/raw/
+            # (.MISSING_LARGE_BLOBS) — fail with the registry's clear
+            # message instead of a cryptic np.load zipfile error
+            raise ValueError(
+                f"{smpl_path} is a git-LFS pointer stub, not a real model "
+                "npz — fetch the real SMPL asset (see smpltpu.models.registry)")
         model_dict = load_smpl_npz(smpl_path)
         model_dir = os.path.dirname(os.path.abspath(smpl_path))
     else:

@@ -200,8 +200,10 @@ def main(argv=None) -> int:
         # CLI's --multi-start addresses (docs/ROADMAP.md accuracy row).
         from smpltpu.solve.init import estimate_frame_init, rest_joints_cam
         rest = rest_joints_cam(spec)
+        n_j = len(spec.parents)
         for f in range(n_frames):
-            poses[f] = estimate_frame_init(kp[f], rest, cam).astype(np.float32)
+            poses[f] = estimate_frame_init(
+                kp[f], rest, cam, n_joints=n_j).astype(np.float32)
     r0 = np.tile(np.asarray(init_root_rotation(), dtype=np.float32),
                  (n_frames, 1, 1))
     shape_w = np.zeros(model.num_shapes, dtype=np.float32)
@@ -250,6 +252,12 @@ def main(argv=None) -> int:
             # frames sharded over the mesh: pad the anchor batch to a
             # multiple of the mesh size with frame_valid=0 rows
             from smpltpu.parallel import build_sharded_lm_fitter, shard_frames
+            if opts["linear"] in ("tridiag", "cr"):
+                # exact elimination is sequential across frame shards;
+                # the sharded stage-1 always runs halo-exchange PCG
+                print(f"[INFO] --linear {opts['linear']} applies to the "
+                      "single-chip/window solves; sharded stage-1 uses "
+                      "the distributed PCG", file=sys.stderr)
             pad = (-n_a) % mesh_n
             a_p = np.tile(np.asarray(init_frame_params(dtype=dtype)),
                           (n_a + pad, 1))

@@ -180,12 +180,18 @@ def main(argv=None) -> int:
     r0 = np.asarray(init_root_rotation())
     if s_dim > 1:
         from smpltpu.solve import best_of_starts
-        best_x, _, _ = best_of_starts(state, n_frames, s_dim)
+        best_x, best_cost, best_idx = best_of_starts(state, n_frames, s_dim)
         x_final = best_x
-        conv = np.asarray(state.converged).reshape(n_frames, s_dim)[:, 0]
-        cost = np.asarray(state.cost).reshape(n_frames, s_dim).min(axis=1)
+        # converged flag and loss history come from the SELECTED start of
+        # each frame (not start 0 / an elementwise min across starts —
+        # that would record a flag for discarded parameters and a loss
+        # trajectory no solver produced)
+        rows_sel = np.arange(n_frames)
+        conv = np.asarray(state.converged).reshape(
+            n_frames, s_dim)[rows_sel, best_idx]
+        cost = best_cost
         hist_all = np.asarray(state.cost_history).reshape(n_frames, s_dim, -1)
-        hist_src = hist_all.min(axis=1)
+        hist_src = hist_all[rows_sel, best_idx]
     else:
         x_final = np.asarray(state.x)
         conv = np.asarray(state.converged)

@@ -171,16 +171,27 @@ def main(argv=None) -> int:
         return 1
 
     # ---- stage 2: fit + render via the parity CLIs ----
+    # Both parity parsers consume numerics POSITIONALLY in order, so a
+    # later knob requires emitting every earlier slot; fill the skipped
+    # ones with that parser's own defaults (then the prefix is a no-op).
+    def _positional(values, defaults):
+        last = max((i for i, v in enumerate(values) if v is not None),
+                   default=-1)
+        return [str(values[i] if values[i] is not None else defaults[i])
+                for i in range(last + 1)]
+
     fit_out = os.path.join(opts["out_dir"], "fit")
     args = [opts["smpl_path"], kps_dir, img_dir, fit_out]
     if opts["mode"] == "single":
         from smpltpu.pipeline import single as cli
-        if opts["iters"] is not None:
-            args.append(str(opts["iters"]))
-            if opts["beta_pose"] is not None:
-                args.append(str(opts["beta_pose"]))
-                if opts["beta_shape"] is not None:
-                    args.append(str(opts["beta_shape"]))
+        args += _positional(
+            [opts["iters"], opts["beta_pose"], opts["beta_shape"]],
+            [100, 20.0, 30.0])
+        for key, flag in (("lambda_t", "--lambda-t"),
+                          ("s2_iters", "--s2-iters")):
+            if opts[key] is not None:
+                print(f"[WARN] {flag} applies to --mode multi only; ignored",
+                      file=sys.stderr)
         for flag, key in (("--multi-start", "multi_start"),
                           ("--freeze-scale", "freeze_scale"),
                           ("--use-gmm", "use_gmm"),
@@ -191,10 +202,23 @@ def main(argv=None) -> int:
             args += ["--pose-prior", opts["pose_prior"]]
     else:
         from smpltpu.pipeline import multi as cli
+        # multi positionals: s1-iters, s2-anchor-iters, skip, wsize,
+        # overlap, beta_pose, beta_shape, lambda_t — --iters caps both
+        # solver stages; window iters stay on --s2-iters
+        args += _positional(
+            [opts["iters"], opts["iters"], None, None, None,
+             opts["beta_pose"], opts["beta_shape"], opts["lambda_t"]],
+            [1000, 500, 10, 20, 5, 5.0, 25.0, 3.0])
         args += ["--batched-windows", "--init-from-anchors"]
-        if opts["iters"] is not None:
-            args += ["--s2-iters", str(opts["s2_iters"] or 60)]
-            args[4:4] = [str(opts["iters"])]
+        if opts["s2_iters"] is not None:
+            args += ["--s2-iters", str(opts["s2_iters"])]
+        for key, flag in (("multi_start", "--multi-start"),
+                          ("use_gmm", "--use-gmm"),
+                          ("freeze_scale", "--freeze-scale")):
+            if opts[key]:
+                print(f"[WARN] {flag} applies to --mode single only; "
+                      "ignored (multi freezes scale and skips the GMM "
+                      "by reference parity)", file=sys.stderr)
         if opts["mesh"] is not None:
             args += ["--mesh", str(opts["mesh"])]
         if opts["jax_render"]:

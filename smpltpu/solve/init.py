@@ -65,7 +65,7 @@ def estimate_frame_init(
     valid = kp_dense[:, 3] > 0
     if valid.sum() < min_kps:
         return x0
-    fx = float(cam.fx)
+    fx, fy = float(cam.fx), float(cam.fy)
     cx, cy = float(cam.cx), float(cam.cy)
     uv = kp_dense[valid, 1:3]
     jid = kp_dense[valid, 0].astype(int)
@@ -73,9 +73,12 @@ def estimate_frame_init(
     span_m = float(rest_cam[jid, 1].max() - rest_cam[jid, 1].min())
     if span_px < 1.0 or span_m <= 0.0:
         return x0
-    z = float(np.clip(fx * span_m / span_px, *depth_bounds))
+    # the span and the v back-projection are VERTICAL -> fy (fx only for u);
+    # identical for the default_intrinsics fx==fy but not for a real
+    # calibrated camera
+    z = float(np.clip(fy * span_m / span_px, *depth_bounds))
     tx = (float(uv[:, 0].mean()) - cx) * z / fx - float(rest_cam[jid, 0].mean())
-    ty = (float(uv[:, 1].mean()) - cy) * z / fx - float(rest_cam[jid, 1].mean())
+    ty = (float(uv[:, 1].mean()) - cy) * z / fy - float(rest_cam[jid, 1].mean())
     x0[4:7] = (tx, ty, z)
     return x0
 

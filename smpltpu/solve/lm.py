@@ -150,8 +150,9 @@ def lm_solve(
 
     def flat_corrected(x):
         """Huber-corrected residual: ||result||^2 == sum rho(s) + ||rp||^2.
-        The weight w(s) = sqrt(min(1, delta/||r||)) stays inside the trace
-        so linearization captures the loss curvature (module docstring)."""
+        The corrected weight w(s) = sqrt(rho(s)/s) (huber_correct_weight —
+        NOT the IRLS weight) stays inside the trace so linearization
+        captures the loss curvature (module docstring)."""
         rb, rp = residual_fn(x)
         s = jnp.sum(rb * rb, axis=-1)
         w = huber_correct_weight(s, cfg.huber_delta)

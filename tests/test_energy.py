@@ -107,8 +107,8 @@ def test_keypoint_residual_masking(small_model_dict, rng):
     assert np.all(res[4:6] == 0.0) and np.all(res[8:10] == 0.0)
     assert np.all(res[:4] != 0.0)
     # Jacobian rows of masked slots are exactly zero
-    jac = np.asarray(jax.jacfwd(
-        lambda v: keypoint_residuals(v, shape, jnp.asarray(kp), cam, spec))(vec))
+    jac = np.asarray(jax.jit(jax.jacfwd(
+        lambda v: keypoint_residuals(v, shape, jnp.asarray(kp), cam, spec)))(vec))
     assert np.all(jac[4:6] == 0.0) and np.all(jac[8:10] == 0.0)
     assert np.any(jac[:4] != 0.0)
 
