@@ -114,11 +114,12 @@ def main():
     linear = os.environ.get("BENCH_LINEAR", "pcg")
     cg_iters = int(os.environ.get("BENCH_CG_ITERS", "64"))
     cg_unroll = int(os.environ.get("BENCH_CG_UNROLL", "1"))
+    cg_rtol = float(os.environ.get("BENCH_CG_RTOL", "0"))
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
     cfg1 = MultiFrameConfig(beta_pose=5.0, beta_shape=25.0,
                             lambda_temporal=3.0, max_iters=150, linear=linear,
                             cg_iters=cg_iters, cg_unroll=cg_unroll,
-                            fused_cost=fused)
+                            cg_rtol=cg_rtol, fused_cost=fused)
     if mesh is not None:
         # frames-sharded LM over the mesh; pad anchors to a mesh multiple
         pad = (-n_a) % n_dev
@@ -165,7 +166,7 @@ def main():
     cfg = MultiFrameConfig(beta_pose=5.0, beta_shape=1e5, lambda_temporal=3.0,
                            max_iters=S2_ITERS, linear=linear,
                            cg_iters=cg_iters, cg_unroll=cg_unroll,
-                           fused_cost=fused)
+                           cg_rtol=cg_rtol, fused_cost=fused)
     fit = build_multi_fitter(spec, cam, cfg, 10)
 
     pad_w = (-n_win) % n_dev if mesh is not None else 0

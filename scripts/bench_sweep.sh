@@ -24,5 +24,9 @@ run baseline-pcg        BENCH_LINEAR=pcg
 run pcg-fused           BENCH_LINEAR=pcg BENCH_FUSED=1
 run pcg-kernel          BENCH_LINEAR=pcg_kernel
 run pcg-kernel-fused    BENCH_LINEAR=pcg_kernel BENCH_FUSED=1
+run pcg-it48            BENCH_LINEAR=pcg BENCH_CG_ITERS=48
+run pcg-it32            BENCH_LINEAR=pcg BENCH_CG_ITERS=32
+run pcg-rtol3           BENCH_LINEAR=pcg BENCH_CG_RTOL=1e-3
+run pcg-rtol2           BENCH_LINEAR=pcg BENCH_CG_RTOL=1e-2
 run render-everything   BENCH_LINEAR=pcg BENCH_RENDER=1
 echo "=== sweep done $(date -u +%FT%TZ) ===" | tee -a "$LOG"

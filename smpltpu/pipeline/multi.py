@@ -83,6 +83,8 @@ def parse_args(argv):
         # residual); "tridiag" default matches the library default (exact
         # elimination, robust to arbitrary conditioning)
         "linear": "tridiag",
+        # pcg tolerance exit (MultiFrameConfig.cg_rtol); 0 = fixed trips
+        "cg_rtol": 0.0,
         # checkpoint backend (utils/ckpt.py): "npz" (atomic single file,
         # default) or "orbax" (JAX-ecosystem PyTree directory)
         "ckpt_backend": "npz",
@@ -114,6 +116,8 @@ def parse_args(argv):
             opts["mesh"] = max(0, int(float(rest.pop(0))))
         elif a == "--pose-prior" and rest:
             opts["pose_prior"] = rest.pop(0)
+        elif a == "--cg-rtol" and rest:
+            opts["cg_rtol"] = float(rest.pop(0))
         elif a == "--linear" and rest:
             opts["linear"] = rest.pop(0)
             if opts["linear"] not in ("tridiag", "cr", "pcg", "pcg_kernel"):
@@ -246,7 +250,8 @@ def main(argv=None) -> int:
                                 beta_shape=opts["beta_shape"],
                                 lambda_temporal=opts["lambda_t"],
                                 max_iters=opts["max_iters_s1"],
-                                linear=opts["linear"])
+                                linear=opts["linear"],
+                                cg_rtol=opts["cg_rtol"])
         n_a = len(anchor_idx)
         if mesh is not None:
             # frames sharded over the mesh: pad the anchor batch to a
@@ -335,7 +340,8 @@ def main(argv=None) -> int:
                             beta_shape=SHAPE_LOCK,
                             lambda_temporal=opts["lambda_t"],
                             max_iters=opts["s2_iters"],
-                            linear=opts["linear"])
+                            linear=opts["linear"],
+                            cg_rtol=opts["cg_rtol"])
     fit2 = build_multi_fitter(spec_s2, cam, cfg2, model.num_shapes, dtype=dtype)
     wsize = opts["wsize"]
 

@@ -105,6 +105,16 @@ class MultiFrameConfig(NamedTuple):
     linear: str = "tridiag"
     cg_iters: int = 64
     cg_unroll: int = 1
+    # cg_rtol > 0: the XLA pcg loop becomes a while_loop that ALSO exits
+    # when ||r||^2 <= rtol^2 ||r0||^2 (cap stays cg_iters). Late LM
+    # iterations have tiny gradients, so their CG converges in a few
+    # steps — the fixed-trip loop keeps paying the ~78 us/step dispatch
+    # floor for all of them. Truncating earlier is still a Steihaug step
+    # (same Krylov space, monotone step norm), unlike warm-starting
+    # (rejected, docs/ROADMAP.md). Under vmap the exit lifts to "all
+    # windows converged". 0 keeps the fixed-trip fori_loop (supports
+    # cg_unroll); ignored by pcg_kernel/tridiag/cr.
+    cg_rtol: float = 0.0
     # fused_cost=True: ONE residual evaluation per LM iteration — the
     # candidate's cost comes out of its own normal-equation assembly
     # (||corrected residual||^2 == the Huber cost by construction), and
@@ -380,6 +390,26 @@ def build_multi_fitter(
             # the loop is latency/overhead-bound at ~78 us/step (ROADMAP
             # bf16 experiment), so unrolling trades code size for trip
             # overhead; cg_unroll=1 keeps the round-2 shipping behavior
+            if cfg.cg_rtol > 0.0:
+                # tolerance exit (see MultiFrameConfig.cg_rtol): identical
+                # recursion, loop ends early once the UNpreconditioned
+                # residual drops below rtol^2 * ||r0||^2
+                rr0 = jnp.sum(r_p * r_p) + r_w @ r_w
+                tol2 = (cfg.cg_rtol * cfg.cg_rtol) * rr0
+
+                def cond_cg(c):
+                    it = c[0]
+                    rr = jnp.sum(c[3] * c[3]) + c[4] @ c[4]
+                    return (it < cfg.cg_iters) & (rr > tol2)
+
+                def body_cg(c):
+                    return (c[0] + 1,) + body(None, c[1:])
+
+                c = jax.lax.while_loop(
+                    cond_cg, body_cg,
+                    (jnp.asarray(0, jnp.int32),
+                     x_p, x_w, r_p, r_w, z_p, z_w, rho))
+                return c[1], c[2]
             c = jax.lax.fori_loop(0, cfg.cg_iters, body,
                                   (x_p, x_w, r_p, r_w, z_p, z_w, rho),
                                   unroll=cfg.cg_unroll)

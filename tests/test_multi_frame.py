@@ -244,3 +244,19 @@ def test_pcg_matches_exact_solver(mf_rig, rng):
 
     e_pcg, e_exact = mean_px(outs["pcg"]), mean_px(outs["tridiag"])
     assert e_pcg <= e_exact * 1.01 + 1e-3, (e_pcg, e_exact)
+
+    # cg_rtol tolerance exit (while_loop formulation): at a tight rtol it
+    # must match the fixed-trip loop's optimum to the equivalence budget;
+    # at a loose practical rtol the steps are genuinely inexact (different
+    # dogleg trajectory), so only pin same-basin sanity
+    for rtol, band in ((1e-10, 5e-3), (1e-3, 0.25)):
+        cfg = MultiFrameConfig(beta_pose=2.0, beta_shape=10.0,
+                               lambda_temporal=2.0, max_iters=80,
+                               linear="pcg", cg_iters=400, cg_rtol=rtol)
+        fit = build_multi_fitter(spec, cam, cfg, 10, dtype=jnp.float64)
+        st = fit(params0, jnp.zeros(10, jnp.float64), jnp.asarray(kp), r0)
+        np.testing.assert_allclose(float(st.cost),
+                                   float(outs["tridiag"].cost), rtol=band)
+        # sub-0.1px absolute regime on this noiseless fixture: pair the
+        # relative band with a band-scaled absolute allowance
+        assert mean_px(st) <= e_exact * (1.0 + band) + 0.2 * band

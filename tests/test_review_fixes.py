@@ -124,3 +124,11 @@ def test_load_dataset_lfs_stub_message(tmp_path):
     (kps / "frame_0000.json").write_text("[]")
     with pytest.raises(ValueError, match="git-LFS pointer stub"):
         load_dataset(str(stub), str(kps), str(imgs), 1.0)
+
+
+def test_multi_cli_parses_cg_rtol():
+    from smpltpu.pipeline import multi as multi_cli
+    opts = multi_cli.parse_args(["m", "k", "i", "o", "--linear", "pcg",
+                                 "--cg-rtol", "1e-3"])
+    assert opts["cg_rtol"] == 1e-3 and opts["linear"] == "pcg"
+    assert multi_cli.parse_args(["m", "k", "i", "o"])["cg_rtol"] == 0.0
