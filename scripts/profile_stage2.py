@@ -94,6 +94,11 @@ def main():
         # unroll knob — the round-2 latency-bound hypotheses
         ("pcgkern64 fixed60", dict(ftol=0.0, linear="pcg_kernel")),
         ("pcg64 unroll4 fixed60", dict(ftol=0.0, linear="pcg", cg_unroll=4)),
+        # tolerance exit (MultiFrameConfig.cg_rtol): late LM iterations'
+        # CG converges in a few steps; measure whether the while_loop
+        # formulation beats the fixed trip count end to end
+        ("pcg rtol1e-3 fixed60", dict(ftol=0.0, linear="pcg", cg_rtol=1e-3)),
+        ("pcg rtol1e-2 fixed60", dict(ftol=0.0, linear="pcg", cg_rtol=1e-2)),
         # early-exit machinery cost: same data, default ftol — the bench
         # measured 1390 ms here vs 1144 fixed; decide if the vmapped
         # while_loop any-unconverged exit pays for itself on this batch
