@@ -1,0 +1,214 @@
+"""Streaming (online) fitting CLI — a serving-oriented framework extension.
+
+The reference pipeline is strictly offline (both mains preload every frame,
+src/main_multi_frame.cpp:72-77). This driver consumes the keypoint frames
+IN ORDER as a simulated live stream and fits each one causally with the
+warm-started per-frame solver (solve/online.py): one jitted LM dispatch per
+frame, shape locked after an initial shared-shape calibration buffer (the
+streaming analogue of stage-1 anchors). The headline metric is per-frame
+LATENCY (reported p50/p95), not batch throughput.
+
+    python -m smpltpu.pipeline.stream <SMPL.npz> <kps_folder> <images_folder>
+        <out_dir> [max_iters=20] [beta_pose=5] [lambda_t=3]
+        [--calib N=10] [--use-gmm] [--pose-prior <txt>] [--render]
+        [--jax-render] [--free-scale]
+
+Numeric optionals are consumed in order (max_iters, beta_pose, lambda_t),
+interleaved with flags — same hand-rolled parser family as the reference
+mains. Outputs: out_dir/log.csv (reference schema, time_ms = that frame's
+solve latency), params_stream.npz, optional frame_<i>_stream.png overlays.
+Frames with no valid detections are skipped (no row), holding the pose —
+the reference's skip-empty-frame semantics (src/main_single_frame.cpp:
+200-203).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from smpltpu.pipeline.common import (
+    StageTimer,
+    append_log,
+    batched_frame_eval,
+    load_dataset,
+    render_overlay_image,
+    save_params,
+)
+from smpltpu.solve.online import OnlineConfig, OnlineFitter
+
+USAGE = """usage: python -m smpltpu.pipeline.stream <SMPL.npz> <kps_folder> <images_folder> <out_dir>
+                   [max_iters=20] [beta_pose=5] [lambda_t=3]
+                   [--calib N] [--use-gmm] [--pose-prior <txt>]
+                   [--render] [--jax-render] [--free-scale]
+"""
+
+
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def parse_args(argv):
+    if len(argv) < 4:
+        return None
+    opts = {
+        "smpl_path": argv[0], "kps_folder": argv[1],
+        "img_folder": argv[2], "out_dir": argv[3],
+        "max_iters": 20, "beta_pose": 5.0, "lambda_t": 3.0,
+        "calib": 10, "use_gmm": False, "pose_prior": None,
+        "render": False, "jax_render": False, "freeze_scale": True,
+    }
+    seen_numeric = 0
+    rest = list(argv[4:])
+    while rest:
+        a = rest.pop(0)
+        if a == "--calib" and rest:
+            opts["calib"] = max(0, int(float(rest.pop(0))))
+        elif a == "--use-gmm":
+            opts["use_gmm"] = True
+        elif a == "--pose-prior" and rest:
+            opts["pose_prior"] = rest.pop(0)
+        elif a == "--render":
+            opts["render"] = True
+        elif a == "--jax-render":
+            opts["render"] = True
+            opts["jax_render"] = True
+        elif a == "--free-scale":
+            # scale gauge left free (see OnlineConfig.freeze_scale)
+            opts["freeze_scale"] = False
+        elif _is_number(a):
+            if seen_numeric == 0:
+                opts["max_iters"] = max(1, int(float(a)))
+            elif seen_numeric == 1:
+                opts["beta_pose"] = float(a)
+            elif seen_numeric == 2:
+                opts["lambda_t"] = float(a)
+            seen_numeric += 1
+        else:
+            print(f"[WARN] Unknown arg ignored: {a}", file=sys.stderr)
+    return opts
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    opts = parse_args(argv)
+    if opts is None:
+        print(USAGE, end="")
+        return 0
+    print(f"[ARGS] max_iters={opts['max_iters']}  beta_pose={opts['beta_pose']}"
+          f"  lambda_t={opts['lambda_t']}  calib={opts['calib']}"
+          f"  use_gmm={str(opts['use_gmm']).lower()}")
+
+    os.makedirs(opts["out_dir"], exist_ok=True)
+    try:
+        ds = load_dataset(opts["smpl_path"], opts["kps_folder"],
+                          opts["img_folder"], midpoint_default_vis=1.0,
+                          pose_prior_path=opts["pose_prior"])
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+
+    model, cam = ds["model"], ds["cam"]
+    kp = np.asarray(ds["kp_batch"], np.float32)
+    n_frames = kp.shape[0]
+    gmm = ds["gmm"] if opts["use_gmm"] else None
+    if opts["use_gmm"] and gmm is None:
+        print("[WARN] --use-gmm requested but no pose_prior.txt found; "
+              "falling back to L2 pose prior", file=sys.stderr)
+
+    cfg = OnlineConfig(beta_pose=opts["beta_pose"],
+                       lambda_temporal=opts["lambda_t"],
+                       max_iters=opts["max_iters"],
+                       freeze_scale=opts["freeze_scale"])
+    fitter = OnlineFitter(model, cam, cfg, gmm_dict=gmm)
+
+    valid = kp[:, :, 3].sum(axis=1) > 0
+    valid_idx = np.flatnonzero(valid)
+    if valid_idx.size == 0:
+        print("No frames with valid keypoints.", file=sys.stderr)
+        return 1
+
+    # compile warm-up outside the latency measurement (the reference's
+    # time_ms wraps only ceres::Solve; XLA's one-off trace/compile is the
+    # analogue of Ceres's problem construction, not of the solve)
+    timer = StageTimer()
+    fitter._step(fitter.prev, fitter.shape,
+                 jnp.asarray(kp[valid_idx[0]], jnp.float32),
+                 fitter.prev, jnp.asarray(0.0, jnp.float32)).x.block_until_ready()
+    print(f"[INFO] per-frame solver compiled in {timer.ms():.0f} ms")
+
+    params = np.zeros((n_frames, fitter.prev.shape[0]), np.float32)
+    time_ms = np.zeros(n_frames)
+    emitted = np.zeros(n_frames, dtype=bool)
+    latencies = []
+
+    # ---- calibration buffer: first `calib` frames WITH detections ----
+    n_calib = min(opts["calib"], valid_idx.size)
+    calib_idx = valid_idx[:n_calib]
+    start_at = 0
+    if n_calib > 0:
+        timer = StageTimer()
+        calib_params = fitter.calibrate(kp[calib_idx])
+        calib_ms = timer.ms()
+        params[calib_idx] = calib_params
+        time_ms[calib_idx] = calib_ms / n_calib
+        emitted[calib_idx] = True
+        start_at = int(calib_idx[-1]) + 1
+        print(f"[INFO] calibrated shape on {n_calib} frames in "
+              f"{calib_ms:.0f} ms (locked for the stream)")
+
+    # ---- the stream ----
+    for i in range(start_at, n_frames):
+        timer = StageTimer()
+        p_i, res = fitter.step(kp[i])
+        if res is None:
+            print(f"Frame {i} has no valid keypoints; skipping.",
+                  file=sys.stderr)
+            continue
+        res.x.block_until_ready()
+        dt = timer.ms()
+        params[i] = p_i
+        time_ms[i] = dt
+        emitted[i] = True
+        latencies.append(dt)
+
+    if latencies:
+        lat = np.asarray(latencies)
+        print(f"[INFO] streamed {lat.size} frames: latency "
+              f"mean {lat.mean():.1f} ms, p50 {np.percentile(lat, 50):.1f} ms, "
+              f"p95 {np.percentile(lat, 95):.1f} ms "
+              f"({1e3 / max(lat.mean(), 1e-9):.0f} frames/s sustained)")
+
+    # ---- evaluation + outputs (post-hoc, outside the latency path) ----
+    idx = np.flatnonzero(emitted)
+    shapes = np.tile(np.asarray(fitter.shape), (n_frames, 1))
+    r0 = np.tile(np.asarray(fitter.spec.r0), (n_frames, 1, 1))
+    errors, verts = batched_frame_eval(
+        model, params[idx], shapes[idx], r0[idx], kp[idx], cam,
+        want_verts=opts["render"])
+    rows = [(int(i), float(errors[k]), float(time_ms[i]))
+            for k, i in enumerate(idx)]
+    append_log(opts["out_dir"], rows)
+    save_params(opts["out_dir"], "params_stream.npz", params, shapes,
+                extra={"emitted": emitted, "calib_frames": calib_idx})
+
+    if opts["render"]:
+        for k, i in enumerate(idx):
+            if i < len(ds["images"]):
+                render_overlay_image(
+                    model, verts[k], ds["images"][i],
+                    os.path.join(opts["out_dir"], f"frame_{i}_stream.png"),
+                    cam, use_jax=opts["jax_render"])
+    print("Done.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,6 +14,11 @@ from smpltpu.solve.multi_frame import (  # noqa: F401
     build_multi_fitter,
     fit_multi_frame,
 )
+from smpltpu.solve.online import (  # noqa: F401
+    OnlineConfig,
+    OnlineFitter,
+    build_online_step,
+)
 from smpltpu.solve.single_frame import (  # noqa: F401
     SingleFrameProblem,
     build_fitter,

@@ -1,0 +1,209 @@
+"""Online (streaming / causal) fitting: one warm-started solve per frame.
+
+Framework extension — the reference has no streaming mode: it preloads the
+finished video (src/main_multi_frame.cpp:72-77) and batch-solves it. For a
+live keypoint stream (the serving use case) the smoother must be CAUSAL:
+each incoming frame is fitted with only past information, at per-frame
+latency instead of per-video throughput.
+
+Formulation: per frame, the single-frame objective (Huber keypoint
+reprojection + pose prior, pose-only with shape HELD at its calibrated
+value — the streaming analogue of stage-2's shape lock,
+src/main_multi_frame.cpp:177-187) plus a temporal tether
+``lambda_t * mask * (x - x_prev)`` to the previous fitted frame. That is
+exactly one row of the multi-frame temporal stencil
+(include/MultiFrameBA.h:121-142) with the earlier frame frozen — the
+sliding-window smoother degenerated to a filter.
+
+TPU-native design: the whole per-frame LM solve is ONE jitted dispatch
+(convergence-exit while_loop, solve/lm.py), warm-started from the previous
+optimum, all shapes static — per-frame latency is the dispatch floor plus
+a handful of LM iterations, not a fresh trace/compile. Shape calibration
+reuses the shared-shape multi-frame fitter on an initial buffer of frames
+(the streaming analogue of stage-1 anchors).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smpltpu.constants import (
+    FIXED_JOINTS_POSE_ONLY,
+    HUBER_DELTA,
+    SCALE_MAX,
+    SCALE_MIN,
+    init_root_rotation,
+)
+from smpltpu.energy import (
+    Camera,
+    GMMPrior,
+    SkeletonSpec,
+    gmm_pose_prior_residual,
+    keypoint_residuals,
+    l2_pose_prior_residual,
+    make_skeleton_spec,
+)
+from smpltpu.energy.params import frame_param_layout, init_frame_params
+from smpltpu.energy.temporal import temporal_mask
+from smpltpu.models.smpl import SMPLModel
+from smpltpu.solve.lm import LMConfig, lm_solve
+
+
+class OnlineConfig(NamedTuple):
+    """Streaming-fit knobs (defaults mirror the multi CLI's stage-2:
+    beta_pose=5, lambda_t=3, shape locked)."""
+
+    beta_pose: float = 5.0
+    lambda_temporal: float = 3.0
+    max_iters: int = 20
+    # gauge fix, same rationale as MultiFrameConfig.freeze_scale: the
+    # temporal tether couples every dim EXCEPT scale, so a free per-frame
+    # scale re-opens the scale/translation gauge the evaluation discards
+    freeze_scale: bool = True
+    huber_delta: float = HUBER_DELTA
+
+
+def build_online_step(
+    spec: SkeletonSpec,
+    cam: Camera,
+    cfg: OnlineConfig,
+    n_joints: int,
+    gmm: Optional[GMMPrior] = None,
+    dtype=jnp.float32,
+):
+    """Return a jitted fn(x0 (P,), shape (nS,), kp (K,4), prev (P,),
+    has_prev ()) -> LMResult fitting ONE frame.
+
+    ``has_prev`` (0.0/1.0) gates the temporal tether so the first frame of
+    a stream solves the plain single-frame problem; with
+    ``lambda_temporal == 0`` the tether rows are identically zero (zero
+    residual AND zero Jacobian), so the step is exactly the single-frame
+    pose-only solve (pinned by tests/test_online.py).
+    """
+    lay = frame_param_layout(n_joints)
+    p_dim = lay["total"]
+    lower = np.full(p_dim, -np.inf)
+    upper = np.full(p_dim, np.inf)
+    lower[0], upper[0] = SCALE_MIN, SCALE_MAX
+    frozen = np.zeros(p_dim, dtype=bool)
+    if cfg.freeze_scale:
+        frozen[0] = True
+    # pose-only path: unobserved joints held constant (Sim3BA.h:607-611)
+    for j in FIXED_JOINTS_POSE_ONLY:
+        if j < n_joints:
+            s = lay["joint_aa"][0] + 3 * (j - 1)
+            frozen[s:s + 3] = True
+    lower_j = jnp.asarray(lower, dtype)
+    upper_j = jnp.asarray(upper, dtype)
+    frozen_j = jnp.asarray(frozen)
+    tmask = temporal_mask(n_joints, dtype)
+    lam = jnp.asarray(cfg.lambda_temporal, dtype)
+    bp = jnp.asarray(cfg.beta_pose, dtype)
+    aa_slice = slice(lay["joint_aa"][0], lay["joint_aa"][1])
+    lmcfg = LMConfig(max_iters=cfg.max_iters, huber_delta=cfg.huber_delta)
+
+    def residual(x, shape, kp, prev, has_prev):
+        r_kp = keypoint_residuals(x, shape, kp, cam, spec).reshape(-1, 2)
+        plain = []
+        if cfg.beta_pose > 0.0:
+            joint_aa = x[aa_slice]
+            if gmm is not None:
+                plain.append(gmm_pose_prior_residual(joint_aa, gmm))
+            else:
+                plain.append(l2_pose_prior_residual(joint_aa, bp))
+        plain.append(lam * has_prev * tmask * (x - prev))
+        return r_kp, jnp.concatenate(plain)
+
+    def step(x0, shape, kp, prev, has_prev):
+        return lm_solve(
+            lambda x: residual(x, shape, kp, prev, has_prev),
+            x0, lmcfg, lower=lower_j, upper=upper_j, frozen=frozen_j)
+
+    return jax.jit(step)
+
+
+class OnlineFitter:
+    """Stateful causal fitter over an incoming keypoint stream.
+
+    >>> fit = OnlineFitter(model, cam)
+    >>> fit.calibrate(first_frames_kp)        # optional shared-shape solve
+    >>> for kp in stream:                     # kp: (K, 4) dense rows
+    ...     params, res = fit.step(kp)        # one jitted dispatch
+
+    Empty frames (no valid detections) are skipped on the host — params
+    hold at the previous frame, mirroring the reference's skip-empty-frame
+    control flow (src/main_single_frame.cpp:200-203); solving them anyway
+    would let the pose prior drag the held pose toward zero.
+    """
+
+    def __init__(
+        self,
+        model: SMPLModel,
+        cam: Camera,
+        cfg: OnlineConfig = OnlineConfig(),
+        shape: Optional[np.ndarray] = None,
+        gmm_dict: Optional[dict] = None,
+        r0=None,
+        dtype=jnp.float32,
+    ):
+        self.model = model
+        self.cam = cam
+        self.cfg = cfg
+        self.dtype = dtype
+        r0 = init_root_rotation() if r0 is None else r0
+        # with_shape=True: the calibrated (constant) shape must still move
+        # the rest-pose joints; it is data here, never an unknown
+        self.spec = make_skeleton_spec(model, r0, with_shape=True)
+        gmm = None
+        if gmm_dict is not None and cfg.beta_pose > 0.0:
+            gmm = GMMPrior.from_dict(gmm_dict, beta=cfg.beta_pose, dtype=dtype)
+        self._step = build_online_step(
+            self.spec, cam, cfg, model.num_joints, gmm=gmm, dtype=dtype)
+        self.shape = jnp.asarray(
+            np.zeros(model.num_shapes) if shape is None else shape, dtype)
+        self.prev = init_frame_params(model.num_joints, dtype=dtype)
+        self.has_prev = 0.0
+        self.n_seen = 0
+
+    def calibrate(self, kp_frames: np.ndarray, max_iters: int = 100,
+                  beta_shape: float = 25.0) -> np.ndarray:
+        """Shared-shape fit over a buffered (F, K, 4) batch — the streaming
+        analogue of stage-1 anchors (src/main_multi_frame.cpp:109-134):
+        sets the locked shape for all subsequent step() calls, seeds the
+        warm start from the LAST buffered frame, and returns the buffer's
+        fitted params (F, P) so callers can emit them."""
+        from smpltpu.solve.multi_frame import MultiFrameConfig, build_multi_fitter
+
+        f = int(kp_frames.shape[0])
+        cfg1 = MultiFrameConfig(
+            beta_pose=self.cfg.beta_pose, beta_shape=beta_shape,
+            lambda_temporal=self.cfg.lambda_temporal, max_iters=max_iters)
+        fit = build_multi_fitter(self.spec, self.cam, cfg1,
+                                 self.model.num_shapes, dtype=self.dtype)
+        p0 = jnp.tile(init_frame_params(self.model.num_joints,
+                                        dtype=self.dtype), (f, 1))
+        r0 = jnp.tile(jnp.asarray(self.spec.r0, self.dtype), (f, 1, 1))
+        st = fit(p0, jnp.zeros(self.model.num_shapes, self.dtype),
+                 jnp.asarray(kp_frames, self.dtype), r0)
+        self.shape = st.shape
+        self.prev = st.params[-1]
+        self.has_prev = 1.0
+        self.n_seen += f
+        return np.asarray(st.params)
+
+    def step(self, kp_dense: np.ndarray):
+        """Fit one frame. Returns (params (P,) np, LMResult-or-None);
+        result is None when the frame had no valid keypoints (held)."""
+        kp = np.asarray(kp_dense)
+        self.n_seen += 1
+        if float(kp[:, 3].sum()) <= 0.0:
+            return np.asarray(self.prev), None
+        res = self._step(self.prev, self.shape, jnp.asarray(kp, self.dtype),
+                         self.prev, jnp.asarray(self.has_prev, self.dtype))
+        self.prev = res.x
+        self.has_prev = 1.0
+        return np.asarray(res.x), res

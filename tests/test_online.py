@@ -1,0 +1,199 @@
+"""Online (streaming/causal) fitting: solve/online.py + pipeline/stream.py.
+
+The reference has no streaming mode (it preloads the whole video,
+src/main_multi_frame.cpp:72-77) — these tests pin the framework extension's
+own contracts: untethered step == single-frame solve, tracking on smooth
+synthetic motion, hold-on-empty-frame, calibration, and the CLI surface.
+"""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smpltpu.constants import (
+    FIXED_JOINTS_POSE_ONLY,
+    N_KP_SLOTS,
+    USE_SMPL,
+    init_root_rotation,
+)
+from smpltpu.energy import pack_frame_params, skeleton_joints_cam
+from smpltpu.energy.params import FrameParams, init_frame_params
+from smpltpu.energy.reproj import project
+from smpltpu.models import SMPLModel
+from smpltpu.solve import fit_frames, make_single_frame_problem
+from smpltpu.solve.online import OnlineConfig, OnlineFitter
+from smpltpu.utils import default_intrinsics
+
+W, H = 720, 1280
+
+
+def _gt_stream(rng, n_frames, dtype=jnp.float64):
+    """Smoothly drifting ground-truth packed params."""
+    base = rng.normal(size=(23, 3)) * 0.12
+    for j in FIXED_JOINTS_POSE_ONLY:
+        base[j - 1] = 0.0
+    drift = rng.normal(size=(23, 3)) * 0.004
+    out = []
+    for f in range(n_frames):
+        out.append(pack_frame_params(FrameParams(
+            scale=jnp.asarray(1.0, dtype),
+            root_aa=jnp.asarray([0.002 * f, -0.001 * f, 0.0], dtype),
+            root_t=jnp.asarray([0.1 + 0.002 * f, -0.1, 3.2], dtype),
+            joint_aa=jnp.asarray(base + f * drift, dtype))))
+    return out
+
+
+def _project_kp(gt_vec, spec, cam):
+    uv = np.asarray(project(skeleton_joints_cam(
+        gt_vec, jnp.zeros(10), spec), cam))
+    kp = np.zeros((N_KP_SLOTS, 4))
+    kp[:, 0] = USE_SMPL
+    kp[:, 1:3] = uv[USE_SMPL]
+    kp[:, 3] = 1.0
+    return kp
+
+
+@pytest.fixture(scope="module")
+def online_rig(small_model_dict):
+    model = SMPLModel.from_dict(small_model_dict, dtype=jnp.float64)
+    cam = default_intrinsics(W, H, dtype=jnp.float64)
+    return model, cam
+
+
+def test_untethered_step_equals_single_frame(online_rig, rng):
+    """lambda_t=0, has_prev=0, shape=0 -> the step IS the single-frame
+    pose-only solve (extra tether rows are identically zero residual AND
+    Jacobian)."""
+    model, cam = online_rig
+    gt = _gt_stream(rng, 1)[0]
+    cfg = OnlineConfig(beta_pose=1.0, lambda_temporal=0.0, max_iters=60,
+                       freeze_scale=False)
+    fit = OnlineFitter(model, cam, cfg, dtype=jnp.float64)
+    kp = _project_kp(gt, fit.spec, cam)
+    x_online, res = fit.step(kp)
+    assert res is not None
+
+    prob = make_single_frame_problem(model, init_root_rotation(), cam,
+                                     beta_pose=1.0, dtype=jnp.float64)
+    st = fit_frames(prob, init_frame_params(dtype=jnp.float64)[None],
+                    jnp.asarray(kp)[None], max_iters=60)
+    # identical objective (the tether rows are exactly zero), same solver:
+    # trajectories agree up to fp reassociation between the two compiled
+    # graphs; optima match to solver tolerance
+    np.testing.assert_allclose(x_online, np.asarray(st.x[0]),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_online_tracks_smooth_motion(online_rig, rng):
+    """Warm-started causal solves track a drifting pose at low iteration
+    budget; warm starts converge (iters_run well below the cold budget)."""
+    model, cam = online_rig
+    n = 8
+    gts = _gt_stream(rng, n)
+    cfg = OnlineConfig(beta_pose=1.0, lambda_temporal=1.0, max_iters=80)
+    fit = OnlineFitter(model, cam, cfg, dtype=jnp.float64)
+    errs, iters = [], []
+    for f in range(n):
+        kp = _project_kp(gts[f], fit.spec, cam)
+        x, res = fit.step(kp)
+        uv = np.asarray(project(skeleton_joints_cam(
+            jnp.asarray(x), jnp.zeros(10), fit.spec), cam))
+        errs.append(np.linalg.norm(uv[USE_SMPL] - kp[:, 1:3], axis=-1).mean())
+        iters.append(int(res.iters_run))
+    # frame 0 is a cold single-frame fit; subsequent frames start warm
+    assert errs[0] < 2.0, errs
+    assert max(errs[1:]) < 2.0, errs
+    assert np.mean(iters[1:]) < iters[0], (
+        f"warm starts should need fewer iterations: {iters}")
+
+
+def test_empty_frame_holds_previous(online_rig, rng):
+    model, cam = online_rig
+    gts = _gt_stream(rng, 2)
+    fit = OnlineFitter(model, cam,
+                       OnlineConfig(beta_pose=1.0, max_iters=40),
+                       dtype=jnp.float64)
+    x1, res1 = fit.step(_project_kp(gts[0], fit.spec, cam))
+    assert res1 is not None
+    empty = np.zeros((N_KP_SLOTS, 4))
+    empty[:, 0] = USE_SMPL
+    x2, res2 = fit.step(empty)
+    assert res2 is None
+    np.testing.assert_array_equal(x1, x2)
+    # stream resumes cleanly after the gap
+    x3, res3 = fit.step(_project_kp(gts[1], fit.spec, cam))
+    assert res3 is not None and np.all(np.isfinite(x3))
+
+
+def test_calibration_recovers_shape_and_seeds_stream(online_rig, rng):
+    """calibrate() runs the shared-shape multi-frame fit on the buffer:
+    shape becomes finite & non-trivial under a shaped GT, prev is seeded,
+    and subsequent steps use the locked shape."""
+    model, cam = online_rig
+    spec_shape = OnlineFitter(model, cam, dtype=jnp.float64).spec
+    gt_shape = jnp.asarray(rng.normal(size=10) * 0.5)
+    gts = _gt_stream(rng, 5)
+    kps = np.stack([
+        np.asarray(_project_kp_shaped(g, gt_shape, spec_shape, cam))
+        for g in gts[:4]])
+    fit = OnlineFitter(model, cam,
+                       OnlineConfig(beta_pose=1.0, max_iters=60),
+                       dtype=jnp.float64)
+    calib_params = fit.calibrate(kps, max_iters=80, beta_shape=1.0)
+    assert calib_params.shape == (4, 76)
+    assert fit.has_prev == 1.0
+    assert np.all(np.isfinite(np.asarray(fit.shape)))
+    # the buffer's observations carry shape information, so the calibrated
+    # shape must move off zero toward the GT direction
+    w = np.asarray(fit.shape)
+    assert np.linalg.norm(w) > 1e-3
+    x, res = fit.step(_project_kp_shaped(gts[4], gt_shape, spec_shape, cam))
+    assert res is not None and np.all(np.isfinite(x))
+
+
+def _project_kp_shaped(gt_vec, shape, spec, cam):
+    uv = np.asarray(project(skeleton_joints_cam(gt_vec, shape, spec), cam))
+    kp = np.zeros((N_KP_SLOTS, 4))
+    kp[:, 0] = USE_SMPL
+    kp[:, 1:3] = uv[USE_SMPL]
+    kp[:, 3] = 1.0
+    return kp
+
+
+def test_stream_cli(tmp_path, rng):
+    """End-to-end CLI on a synthetic on-disk dataset: log.csv schema,
+    params npz, skip-empty-frame, latency report."""
+    from smpltpu.pipeline import stream as stream_cli
+    from test_pipeline import _make_dataset
+
+    model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng,
+                                                empty_frames=(2,))
+    out_dir = str(tmp_path / "out_stream")
+    rc = stream_cli.main([model_path, kp_dir, img_dir, out_dir,
+                          "12", "1.0", "1.0", "--calib", "2"])
+    assert rc == 0
+    log = open(os.path.join(out_dir, "log.csv")).read().splitlines()
+    assert log[0] == "frame,mean_pixel_error_px,time_ms"
+    frames_logged = [int(r.split(",")[0]) for r in log[1:]]
+    assert 2 not in frames_logged          # empty frame skipped
+    assert len(frames_logged) == 6          # 7 frames - 1 empty
+    errs = [float(r.split(",")[1]) for r in log[1:]]
+    assert max(errs) < 25.0, errs
+    dat = np.load(os.path.join(out_dir, "params_stream.npz"))
+    assert dat["params"].shape[0] == 7
+    assert list(dat["calib_frames"]) == [0, 1]
+
+
+def test_stream_cli_usage_and_parse():
+    from smpltpu.pipeline import stream as stream_cli
+
+    assert stream_cli.main([]) == 0  # usage, reference-style rc 0
+    opts = stream_cli.parse_args(
+        ["m", "k", "i", "o", "30", "--calib", "5", "2.5", "--free-scale",
+         "0.5", "--render"])
+    assert opts["max_iters"] == 30 and opts["calib"] == 5
+    assert opts["beta_pose"] == 2.5 and opts["lambda_t"] == 0.5
+    assert opts["freeze_scale"] is False and opts["render"] is True
