@@ -59,6 +59,17 @@ def sharded_window_fit(mesh: Mesh, fitter, params0, shape0, kp, r0,
     return batched(*args)
 
 
+def sharded_frame_fit(mesh: Mesh, fitter, x0, kp, axis: str = "frames"):
+    """DP the single-frame batch over the mesh: ``fitter`` is a
+    build_fitter result (solve/single_frame.py — already jit(vmap) over
+    the frame axis), so sharding the inputs lets GSPMD partition the
+    batched program; per-frame solves are independent (the reference's
+    per-frame loop, src/main_single_frame.cpp:192), so no communication
+    until the gather. Leading axis must be divisible by the mesh size."""
+    spec_in = NamedSharding(mesh, P(axis))
+    return fitter(jax.device_put(x0, spec_in), jax.device_put(kp, spec_in))
+
+
 # ---------------------------------------------------------------------
 # path 2: frames sharded, shared shape, halo-exchange PCG
 # ---------------------------------------------------------------------

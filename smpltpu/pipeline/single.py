@@ -47,7 +47,7 @@ from smpltpu.utils.image import imread
 
 USAGE = """usage: python -m smpltpu.pipeline.single <SMPL.npz> <kps_folder> <images_folder> <out_dir>
                    [max_iters=100] [beta_pose=20] [beta_shape=30]
-                   [--opt-shape] [--use-gmm]
+                   [--opt-shape] [--use-gmm] [--mesh N]
 """
 
 
@@ -69,6 +69,7 @@ def parse_args(argv):
         "max_iters": 100, "beta_pose": 20.0, "beta_shape": 30.0,
         "opt_shape": False, "use_gmm": False, "pose_prior": None,
         "jax_render": False, "multi_start": False, "freeze_scale": False,
+        "mesh": 0,  # 0 = auto (all visible devices), 1 = single-chip
     }
     seen_numeric = 0
     rest = list(argv[4:])
@@ -86,6 +87,8 @@ def parse_args(argv):
             opts["multi_start"] = True
         elif a == "--freeze-scale":  # gauge fix: see solve/single_frame.py
             opts["freeze_scale"] = True
+        elif a == "--mesh" and rest:  # DP the frame batch over the mesh
+            opts["mesh"] = max(0, int(float(rest.pop(0))))
         elif _is_number(a):
             if seen_numeric == 0:
                 opts["max_iters"] = max(1, int(float(a)))
@@ -159,19 +162,46 @@ def main(argv=None) -> int:
         x0 = jnp.tile(x0_one, (n_frames, 1))
         kp_fit = kp
 
+    # device mesh (same surface as the multi CLI's --mesh): per-frame
+    # solves are independent, so the batch DPs over the mesh with no
+    # communication until the gather (parallel/sharded.sharded_frame_fit)
+    import jax
+
+    mesh_n = opts["mesh"] if opts["mesh"] > 0 else len(jax.devices())
+    mesh = None
+    n_solve = int(x0.shape[0])
+    if mesh_n > 1:
+        from smpltpu.parallel import frames_mesh, sharded_frame_fit
+        mesh = frames_mesh(mesh_n)
+        pad = (-n_solve) % mesh_n
+        if pad:  # all-invalid keypoint rows: padding converges to its init
+            x0 = jnp.concatenate([x0, jnp.tile(x0[-1:], (pad, 1))])
+            kp_fit = np.concatenate(
+                [kp_fit, np.zeros((pad,) + kp_fit.shape[1:], kp_fit.dtype)])
+    print(f"[INFO] devices visible: {len(jax.devices())}  mesh size: "
+          f"{mesh_n if mesh is not None else 1}")
+
     fitter = build_fitter(prob, max_iters=opts["max_iters"], dtype=dtype)
     kp_dev = jnp.asarray(kp_fit, dtype)
+
+    def run_solve():
+        if mesh is not None:
+            return sharded_frame_fit(mesh, fitter, x0, kp_dev)
+        return fitter(x0, kp_dev)
+
     timer = StageTimer()
-    state = fitter(x0, kp_dev)
+    state = run_solve()
     state.x.block_until_ready()
     first_ms = timer.ms()
     # re-run the (deterministic) compiled solve to time it without the
     # one-off XLA compilation, matching the reference's timer which wraps
     # only ceres::Solve (src/main_single_frame.cpp:234-249)
     timer = StageTimer()
-    state = fitter(x0, kp_dev)
+    state = run_solve()
     state.x.block_until_ready()
     total_ms = timer.ms()
+    if mesh is not None and n_solve != x0.shape[0]:
+        state = jax.tree_util.tree_map(lambda a: a[:n_solve], state)
     print(f"[INFO] batched solve: {total_ms:.1f} ms for {n_frames} frames"
           f"{f' x {s_dim} starts' if s_dim > 1 else ''} "
           f"(+{first_ms - total_ms:.0f} ms one-off compile)")

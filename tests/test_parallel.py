@@ -16,6 +16,7 @@ from smpltpu.parallel import frames_mesh, shard_frames
 from smpltpu.parallel.sharded import (
     build_sharded_gn_step,
     build_sharded_lm_fitter,
+    sharded_frame_fit,
     sharded_window_fit,
 )
 from smpltpu.solve.multi_frame import MultiFrameConfig, build_multi_fitter
@@ -127,6 +128,42 @@ def test_sharded_window_fit_matches_single(par_rig, rng):
     np.testing.assert_allclose(float(st.cost[2]), float(ref.cost), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(st.params[2]),
                                np.asarray(ref.params), rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_frame_fit_matches_unsharded(par_rig, rng):
+    """DP over the single-frame batch (the single CLI's --mesh path): the
+    8-device mesh must reach the same per-frame optima as the unsharded
+    call of the SAME fitter — per-frame solves are independent, so only
+    reduction order differs (same tolerance convention as the window-DP
+    test above)."""
+    from smpltpu.solve import build_fitter, make_single_frame_problem
+
+    model, cam, _ = par_rig
+    f = 8
+    prob = make_single_frame_problem(model, init_root_rotation(), cam,
+                                     beta_pose=2.0, dtype=jnp.float64)
+    # realizable observations (projected from a true pose + noise) keep
+    # the basins well-separated so fp reseeding cannot flip them
+    gt = jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1))
+    gt = gt.at[:, 7:].add(0.1 * rng.normal(size=(f, 69)))
+    uv = np.asarray(jax.vmap(
+        lambda p: project(skeleton_joints_cam(
+            p, jnp.zeros(10), prob.spec), cam))(gt))
+    kp = np.zeros((f, N_KP_SLOTS, 4))
+    kp[:, :, 0] = USE_SMPL
+    kp[:, :, 1:3] = uv[:, USE_SMPL] + rng.normal(size=(f, N_KP_SLOTS, 2))
+    kp[:, :, 3] = 1.0
+
+    fitter = build_fitter(prob, max_iters=120, dtype=jnp.float64)
+    x0 = jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1))
+    kp_j = jnp.asarray(kp)
+    ref = fitter(x0, kp_j)
+    mesh = frames_mesh(8)
+    st = sharded_frame_fit(mesh, fitter, x0, kp_j)
+    np.testing.assert_allclose(np.asarray(st.cost), np.asarray(ref.cost),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.x), np.asarray(ref.x),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_sharded_lm_mesh_invariance_and_single_chip_parity(par_rig, rng):

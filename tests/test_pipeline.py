@@ -190,6 +190,29 @@ def test_multi_cli_mesh_matches_single_chip(tmp_path, rng):
     np.testing.assert_allclose(outs["m1"], outs["m8"], rtol=0.05, atol=0.5)
 
 
+def test_single_cli_mesh_smoke(tmp_path, rng):
+    """--mesh on the single CLI (DP over the frame batch,
+    parallel/sharded.sharded_frame_fit): runs on the 8-virtual-device CPU
+    mesh, pads the 6-valid-frame batch to a mesh multiple with all-invalid
+    rows and strips them from every output. Exact mesh-vs-single-chip
+    equivalence is pinned at library level in f32-stable f64
+    (tests/test_parallel.py::test_sharded_frame_fit_matches_unsharded) —
+    the CLI's 30-iter f32 cold-init trajectories are chaotic, so two
+    differently-compiled programs can land in different basins and a
+    per-frame error comparison would be flaky by construction."""
+    model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng)
+    out = str(tmp_path / "out_smesh")
+    rc = single_cli.main([model_path, kp_dir, img_dir, out,
+                          "30", "1.0", "0.0", "--mesh", "8"])
+    assert rc == 0
+    log = open(os.path.join(out, "log.csv")).read().splitlines()
+    assert len(log) == 1 + (N_FRAMES - 1)   # padding rows never logged
+    errs = [float(r.split(",")[1]) for r in log[1:]]
+    assert np.mean(errs) < 20.0
+    saved = np.load(os.path.join(out, "params_single.npz"))
+    assert saved["params"].shape == (N_FRAMES, 76)
+
+
 def test_multi_cli_count_mismatch(tmp_path, rng):
     model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng)
     os.remove(os.path.join(img_dir, "frame_0006.png"))
