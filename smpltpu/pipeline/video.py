@@ -6,11 +6,11 @@ then data/scripts/create_video.py — README.md:4-21); this driver runs the
 whole chain:
 
     python -m smpltpu.pipeline.video <SMPL.npz> <input> <out_dir>
-        [--mode multi|single] [--size WxH] [--images DIR] [--fps N]
+        [--mode multi|single|stream] [--size WxH] [--images DIR] [--fps N]
         [--no-video] [--mesh N] [--multi-start] [--freeze-scale]
         [--use-gmm] [--pose-prior FILE] [--jax-render]
         [--iters N] [--s2-iters N] [--beta-pose X] [--beta-shape X]
-        [--lambda-t X]
+        [--lambda-t X] [--calib N]
 
 ``input`` may be:
   * a video file            -> MediaPipe extraction (needs cv2+mediapipe),
@@ -47,6 +47,7 @@ def _parse(argv):
         "freeze_scale": False, "use_gmm": False, "pose_prior": None,
         "jax_render": False, "iters": None, "s2_iters": None,
         "beta_pose": None, "beta_shape": None, "lambda_t": None,
+        "calib": None,
     }
     rest = list(argv[3:])
     flags = {"--no-video": "no_video", "--multi-start": "multi_start",
@@ -58,7 +59,8 @@ def _parse(argv):
               "--iters": ("iters", int), "--s2-iters": ("s2_iters", int),
               "--beta-pose": ("beta_pose", float),
               "--beta-shape": ("beta_shape", float),
-              "--lambda-t": ("lambda_t", float)}
+              "--lambda-t": ("lambda_t", float),
+              "--calib": ("calib", int)}  # --mode stream only
     while rest:
         a = rest.pop(0)
         if a in flags:
@@ -187,17 +189,43 @@ def main(argv=None) -> int:
         args += _positional(
             [opts["iters"], opts["beta_pose"], opts["beta_shape"]],
             [100, 20.0, 30.0])
-        for key, flag in (("lambda_t", "--lambda-t"),
-                          ("s2_iters", "--s2-iters")):
+        for key, flag, where in (("lambda_t", "--lambda-t", "multi"),
+                                 ("s2_iters", "--s2-iters", "multi"),
+                                 ("calib", "--calib", "stream")):
             if opts[key] is not None:
-                print(f"[WARN] {flag} applies to --mode multi only; ignored",
-                      file=sys.stderr)
+                print(f"[WARN] {flag} applies to --mode {where} only; "
+                      "ignored", file=sys.stderr)
         for flag, key in (("--multi-start", "multi_start"),
                           ("--freeze-scale", "freeze_scale"),
                           ("--use-gmm", "use_gmm"),
                           ("--jax-render", "jax_render")):
             if opts[key]:
                 args.append(flag)
+        if opts["pose_prior"]:
+            args += ["--pose-prior", opts["pose_prior"]]
+    elif opts["mode"] == "stream":
+        # causal streaming fit (solve/online.py): one warm-started jitted
+        # solve per frame, shape locked after the calibration buffer
+        from smpltpu.pipeline import stream as cli
+        args += _positional(
+            [opts["iters"], opts["beta_pose"], opts["lambda_t"]],
+            [20, 5.0, 3.0])
+        args.append("--render")
+        if opts["calib"] is not None:
+            args += ["--calib", str(opts["calib"])]
+        for key, flag in (("s2_iters", "--s2-iters"),
+                          ("beta_shape", "--beta-shape"),
+                          ("mesh", "--mesh"),
+                          ("multi_start", "--multi-start")):
+            if opts[key]:
+                print(f"[WARN] {flag} does not apply to --mode stream; "
+                      "ignored (shape comes from the calibration buffer; "
+                      "the stream is causal and single-chip)",
+                      file=sys.stderr)
+        if opts["jax_render"]:
+            args.append("--jax-render")
+        if opts["use_gmm"]:
+            args.append("--use-gmm")
         if opts["pose_prior"]:
             args += ["--pose-prior", opts["pose_prior"]]
     else:
@@ -212,6 +240,9 @@ def main(argv=None) -> int:
         args += ["--batched-windows", "--init-from-anchors"]
         if opts["s2_iters"] is not None:
             args += ["--s2-iters", str(opts["s2_iters"])]
+        if opts["calib"] is not None:
+            print("[WARN] --calib applies to --mode stream only; ignored",
+                  file=sys.stderr)
         for key, flag in (("multi_start", "--multi-start"),
                           ("use_gmm", "--use-gmm"),
                           ("freeze_scale", "--freeze-scale")):

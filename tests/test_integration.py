@@ -111,6 +111,30 @@ def test_fit_video_one_command(tmp_path):
         pass
 
 
+@pytest.mark.skipif(not os.path.isdir(VIDEO1_KPS),
+                    reason="reference fixture not mounted")
+def test_fit_video_stream_mode(tmp_path):
+    """--mode stream routes the one-command driver through the causal
+    streaming CLI (pipeline/stream.py): log.csv + per-frame stream renders
+    from just a keypoints folder."""
+    from smpltpu.pipeline import video as video_cli
+
+    model_path = str(tmp_path / "model.npz")
+    save_smpl_npz(model_path, make_synthetic_model(n_verts=300, seed=0))
+    out = str(tmp_path / "out")
+    rc = video_cli.main([model_path, VIDEO1_KPS, out,
+                         "--mode", "stream", "--size", "90x160",
+                         "--iters", "12", "--calib", "4", "--no-video"])
+    assert rc == 0
+    fit_out = os.path.join(out, "fit")
+    log = open(os.path.join(fit_out, "log.csv")).read().splitlines()
+    assert log[0] == "frame,mean_pixel_error_px,time_ms"
+    assert len(log) == 1 + 33   # 38 video1 frames, 5 without detections
+    assert os.path.isfile(os.path.join(fit_out, "params_stream.npz"))
+    renders = [f for f in os.listdir(fit_out) if f.endswith("_stream.png")]
+    assert len(renders) == 33
+
+
 N_ANCHOR_V1 = len(range(0, 38, 5))
 
 
