@@ -29,4 +29,5 @@ run pcg-it32            BENCH_LINEAR=pcg BENCH_CG_ITERS=32
 run pcg-rtol3           BENCH_LINEAR=pcg BENCH_CG_RTOL=1e-3
 run pcg-rtol2           BENCH_LINEAR=pcg BENCH_CG_RTOL=1e-2
 run render-everything   BENCH_LINEAR=pcg BENCH_RENDER=1
+run stream-latency      BENCH_LINEAR=pcg BENCH_STREAM=1
 echo "=== sweep done $(date -u +%FT%TZ) ===" | tee -a "$LOG"

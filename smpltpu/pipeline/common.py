@@ -23,6 +23,16 @@ from smpltpu.utils.writeback import params_to_pose
 IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
 
 
+def is_number(s: str) -> bool:
+    """Token classifier for the reference-style hand-rolled parsers
+    (numerics consumed positionally, interleaved with flags)."""
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
 def append_log(out_dir: str, rows: List[Tuple[int, float, float]]) -> str:
     """Append rows to out_dir/log.csv with a header-once guard.
 

@@ -51,12 +51,7 @@ USAGE = """usage: python -m smpltpu.pipeline.single <SMPL.npz> <kps_folder> <ima
 """
 
 
-def _is_number(s: str) -> bool:
-    try:
-        float(s)
-        return True
-    except ValueError:
-        return False
+from smpltpu.pipeline.common import is_number as _is_number
 
 
 def parse_args(argv):

@@ -47,12 +47,7 @@ USAGE = """usage: python -m smpltpu.pipeline.stream <SMPL.npz> <kps_folder> <ima
 """
 
 
-def _is_number(s: str) -> bool:
-    try:
-        float(s)
-        return True
-    except ValueError:
-        return False
+from smpltpu.pipeline.common import is_number as _is_number
 
 
 def parse_args(argv):
@@ -144,7 +139,10 @@ def main(argv=None) -> int:
                  fitter.prev, jnp.asarray(0.0, jnp.float32)).x.block_until_ready()
     print(f"[INFO] per-frame solver compiled in {timer.ms():.0f} ms")
 
-    params = np.zeros((n_frames, fitter.prev.shape[0]), np.float32)
+    # fill with the init pose, not zeros: rows the stream never solves
+    # (leading no-detection frames, gaps inside the calibration buffer)
+    # must stay a valid body, not a scale-0 degenerate at the origin
+    params = np.tile(np.asarray(fitter.prev, np.float32), (n_frames, 1))
     time_ms = np.zeros(n_frames)
     emitted = np.zeros(n_frames, dtype=bool)
     latencies = []
@@ -156,19 +154,26 @@ def main(argv=None) -> int:
     if n_calib > 0:
         timer = StageTimer()
         calib_params = fitter.calibrate(kp[calib_idx])
-        calib_ms = timer.ms()
+        calib_wall_ms = timer.ms()
         params[calib_idx] = calib_params
-        time_ms[calib_idx] = calib_ms / n_calib
+        # log.csv time_ms is SOLVE latency (compile excluded, like the
+        # per-frame warm-up above): calibrate() re-times its compiled solve
+        time_ms[calib_idx] = fitter.last_calib_ms / n_calib
         emitted[calib_idx] = True
         start_at = int(calib_idx[-1]) + 1
-        print(f"[INFO] calibrated shape on {n_calib} frames in "
-              f"{calib_ms:.0f} ms (locked for the stream)")
+        print(f"[INFO] calibrated shape on {n_calib} frames: solve "
+              f"{fitter.last_calib_ms:.0f} ms "
+              f"(+{calib_wall_ms - fitter.last_calib_ms:.0f} ms one-off "
+              "compile+first); locked for the stream")
 
     # ---- the stream ----
     for i in range(start_at, n_frames):
         timer = StageTimer()
         p_i, res = fitter.step(kp[i])
         if res is None:
+            # held pose: no log row / render (reference skip semantics)
+            # but the npz keeps the hold so frame rows are never zeros
+            params[i] = p_i
             print(f"Frame {i} has no valid keypoints; skipping.",
                   file=sys.stderr)
             continue

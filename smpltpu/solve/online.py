@@ -168,6 +168,7 @@ class OnlineFitter:
         self.prev = init_frame_params(model.num_joints, dtype=dtype)
         self.has_prev = 0.0
         self.n_seen = 0
+        self.last_calib_ms = 0.0  # solve-only wall time of calibrate()
 
     def calibrate(self, kp_frames: np.ndarray, max_iters: int = 100,
                   beta_shape: float = 25.0) -> np.ndarray:
@@ -176,6 +177,8 @@ class OnlineFitter:
         sets the locked shape for all subsequent step() calls, seeds the
         warm start from the LAST buffered frame, and returns the buffer's
         fitted params (F, P) so callers can emit them."""
+        import time
+
         from smpltpu.solve.multi_frame import MultiFrameConfig, build_multi_fitter
 
         f = int(kp_frames.shape[0])
@@ -187,8 +190,17 @@ class OnlineFitter:
         p0 = jnp.tile(init_frame_params(self.model.num_joints,
                                         dtype=self.dtype), (f, 1))
         r0 = jnp.tile(jnp.asarray(self.spec.r0, self.dtype), (f, 1, 1))
-        st = fit(p0, jnp.zeros(self.model.num_shapes, self.dtype),
-                 jnp.asarray(kp_frames, self.dtype), r0)
+        kp_j = jnp.asarray(kp_frames, self.dtype)
+        w0 = jnp.zeros(self.model.num_shapes, self.dtype)
+        st = fit(p0, w0, kp_j, r0)
+        jax.block_until_ready(st.params)
+        # solve-only wall time for the caller's reporting: re-run the now-
+        # compiled (deterministic) solve — the same compile/solve split the
+        # reference's time_ms makes by wrapping only ceres::Solve
+        t0 = time.perf_counter()
+        st = fit(p0, w0, kp_j, r0)
+        jax.block_until_ready(st.params)
+        self.last_calib_ms = (time.perf_counter() - t0) * 1e3
         self.shape = st.shape
         self.prev = st.params[-1]
         self.has_prev = 1.0

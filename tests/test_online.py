@@ -4,11 +4,16 @@ The reference has no streaming mode (it preloads the whole video,
 src/main_multi_frame.cpp:72-77) — these tests pin the framework extension's
 own contracts: untethered step == single-frame solve, tracking on smooth
 synthetic motion, hold-on-empty-frame, calibration, and the CLI surface.
+
+Local fixed-seed rngs (not the session fixture) keep every test's data
+independent of suite ordering; all FK/projection evaluations go through
+one jitted batched projector per spec (CLAUDE.md: never eager-dispatch the
+FK chain in tests).
 """
 
-import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -29,30 +34,41 @@ from smpltpu.utils import default_intrinsics
 
 W, H = 720, 1280
 
+_proj_cache: dict = {}
 
-def _gt_stream(rng, n_frames, dtype=jnp.float64):
-    """Smoothly drifting ground-truth packed params."""
+
+def _projector(spec, cam):
+    """One jitted vmapped (params, shape) -> uv projector per spec."""
+    key = (id(spec), id(cam))
+    if key not in _proj_cache:
+        _proj_cache[key] = (spec, cam, jax.jit(jax.vmap(
+            lambda p, w: project(skeleton_joints_cam(p, w, spec), cam))))
+    return _proj_cache[key][2]
+
+
+def _gt_stream(seed, n_frames, dtype=jnp.float64):
+    """Smoothly drifting ground-truth packed params (order-independent)."""
+    rng = np.random.default_rng(seed)
     base = rng.normal(size=(23, 3)) * 0.12
     for j in FIXED_JOINTS_POSE_ONLY:
         base[j - 1] = 0.0
     drift = rng.normal(size=(23, 3)) * 0.004
-    out = []
-    for f in range(n_frames):
-        out.append(pack_frame_params(FrameParams(
-            scale=jnp.asarray(1.0, dtype),
-            root_aa=jnp.asarray([0.002 * f, -0.001 * f, 0.0], dtype),
-            root_t=jnp.asarray([0.1 + 0.002 * f, -0.1, 3.2], dtype),
-            joint_aa=jnp.asarray(base + f * drift, dtype))))
-    return out
+    return jnp.stack([pack_frame_params(FrameParams(
+        scale=jnp.asarray(1.0, dtype),
+        root_aa=jnp.asarray([0.002 * f, -0.001 * f, 0.0], dtype),
+        root_t=jnp.asarray([0.1 + 0.002 * f, -0.1, 3.2], dtype),
+        joint_aa=jnp.asarray(base + f * drift, dtype)))
+        for f in range(n_frames)])
 
 
-def _project_kp(gt_vec, spec, cam):
-    uv = np.asarray(project(skeleton_joints_cam(
-        gt_vec, jnp.zeros(10), spec), cam))
-    kp = np.zeros((N_KP_SLOTS, 4))
-    kp[:, 0] = USE_SMPL
-    kp[:, 1:3] = uv[USE_SMPL]
-    kp[:, 3] = 1.0
+def _kp_batch_from(gts, shapes, spec, cam):
+    """(F, K, 4) dense keypoints projected from GT params, one jitted call."""
+    uv = np.asarray(_projector(spec, cam)(gts, shapes))
+    f = uv.shape[0]
+    kp = np.zeros((f, N_KP_SLOTS, 4))
+    kp[:, :, 0] = USE_SMPL
+    kp[:, :, 1:3] = uv[:, USE_SMPL]
+    kp[:, :, 3] = 1.0
     return kp
 
 
@@ -63,60 +79,62 @@ def online_rig(small_model_dict):
     return model, cam
 
 
-def test_untethered_step_equals_single_frame(online_rig, rng):
+def test_untethered_step_equals_single_frame(online_rig):
     """lambda_t=0, has_prev=0, shape=0 -> the step IS the single-frame
     pose-only solve (extra tether rows are identically zero residual AND
-    Jacobian)."""
+    Jacobian). Two differently-compiled programs of the same objective:
+    trajectories agree up to fp reassociation, so compare the reached
+    optima (same convention as tests/test_parallel.py)."""
     model, cam = online_rig
-    gt = _gt_stream(rng, 1)[0]
-    cfg = OnlineConfig(beta_pose=1.0, lambda_temporal=0.0, max_iters=60,
+    gts = _gt_stream(seed=7, n_frames=1)
+    cfg = OnlineConfig(beta_pose=1.0, lambda_temporal=0.0, max_iters=120,
                        freeze_scale=False)
     fit = OnlineFitter(model, cam, cfg, dtype=jnp.float64)
-    kp = _project_kp(gt, fit.spec, cam)
+    kp = _kp_batch_from(gts, jnp.zeros((1, 10)), fit.spec, cam)[0]
     x_online, res = fit.step(kp)
     assert res is not None
 
     prob = make_single_frame_problem(model, init_root_rotation(), cam,
                                      beta_pose=1.0, dtype=jnp.float64)
     st = fit_frames(prob, init_frame_params(dtype=jnp.float64)[None],
-                    jnp.asarray(kp)[None], max_iters=60)
-    # identical objective (the tether rows are exactly zero), same solver:
-    # trajectories agree up to fp reassociation between the two compiled
-    # graphs; optima match to solver tolerance
+                    jnp.asarray(kp)[None], max_iters=120)
+    np.testing.assert_allclose(float(res.cost), float(st.cost[0]), rtol=1e-6)
     np.testing.assert_allclose(x_online, np.asarray(st.x[0]),
-                               rtol=1e-6, atol=1e-8)
+                               rtol=1e-3, atol=1e-3)
 
 
-def test_online_tracks_smooth_motion(online_rig, rng):
+def test_online_tracks_smooth_motion(online_rig):
     """Warm-started causal solves track a drifting pose at low iteration
-    budget; warm starts converge (iters_run well below the cold budget)."""
+    budget; warm starts converge (iters_run well below the cold frame)."""
     model, cam = online_rig
     n = 8
-    gts = _gt_stream(rng, n)
+    gts = _gt_stream(seed=11, n_frames=n)
     cfg = OnlineConfig(beta_pose=1.0, lambda_temporal=1.0, max_iters=80)
     fit = OnlineFitter(model, cam, cfg, dtype=jnp.float64)
-    errs, iters = [], []
+    kps = _kp_batch_from(gts, jnp.zeros((n, 10)), fit.spec, cam)
+    xs, iters = [], []
     for f in range(n):
-        kp = _project_kp(gts[f], fit.spec, cam)
-        x, res = fit.step(kp)
-        uv = np.asarray(project(skeleton_joints_cam(
-            jnp.asarray(x), jnp.zeros(10), fit.spec), cam))
-        errs.append(np.linalg.norm(uv[USE_SMPL] - kp[:, 1:3], axis=-1).mean())
+        x, res = fit.step(kps[f])
+        xs.append(x)
         iters.append(int(res.iters_run))
+    uv = np.asarray(_projector(fit.spec, cam)(
+        jnp.asarray(np.stack(xs)), jnp.zeros((n, 10))))
+    errs = np.linalg.norm(uv[:, USE_SMPL] - kps[:, :, 1:3], axis=-1).mean(1)
     # frame 0 is a cold single-frame fit; subsequent frames start warm
     assert errs[0] < 2.0, errs
-    assert max(errs[1:]) < 2.0, errs
+    assert errs[1:].max() < 2.0, errs
     assert np.mean(iters[1:]) < iters[0], (
         f"warm starts should need fewer iterations: {iters}")
 
 
-def test_empty_frame_holds_previous(online_rig, rng):
+def test_empty_frame_holds_previous(online_rig):
     model, cam = online_rig
-    gts = _gt_stream(rng, 2)
+    gts = _gt_stream(seed=13, n_frames=2)
     fit = OnlineFitter(model, cam,
                        OnlineConfig(beta_pose=1.0, max_iters=40),
                        dtype=jnp.float64)
-    x1, res1 = fit.step(_project_kp(gts[0], fit.spec, cam))
+    kps = _kp_batch_from(gts, jnp.zeros((2, 10)), fit.spec, cam)
+    x1, res1 = fit.step(kps[0])
     assert res1 is not None
     empty = np.zeros((N_KP_SLOTS, 4))
     empty[:, 0] = USE_SMPL
@@ -124,48 +142,40 @@ def test_empty_frame_holds_previous(online_rig, rng):
     assert res2 is None
     np.testing.assert_array_equal(x1, x2)
     # stream resumes cleanly after the gap
-    x3, res3 = fit.step(_project_kp(gts[1], fit.spec, cam))
+    x3, res3 = fit.step(kps[1])
     assert res3 is not None and np.all(np.isfinite(x3))
 
 
-def test_calibration_recovers_shape_and_seeds_stream(online_rig, rng):
+def test_calibration_recovers_shape_and_seeds_stream(online_rig):
     """calibrate() runs the shared-shape multi-frame fit on the buffer:
     shape becomes finite & non-trivial under a shaped GT, prev is seeded,
-    and subsequent steps use the locked shape."""
+    solve-only timing is recorded, and subsequent steps use the locked
+    shape."""
     model, cam = online_rig
-    spec_shape = OnlineFitter(model, cam, dtype=jnp.float64).spec
+    rng = np.random.default_rng(17)
     gt_shape = jnp.asarray(rng.normal(size=10) * 0.5)
-    gts = _gt_stream(rng, 5)
-    kps = np.stack([
-        np.asarray(_project_kp_shaped(g, gt_shape, spec_shape, cam))
-        for g in gts[:4]])
+    gts = _gt_stream(seed=17, n_frames=5)
     fit = OnlineFitter(model, cam,
                        OnlineConfig(beta_pose=1.0, max_iters=60),
                        dtype=jnp.float64)
-    calib_params = fit.calibrate(kps, max_iters=80, beta_shape=1.0)
+    shp = jnp.tile(gt_shape, (5, 1))
+    kps = _kp_batch_from(gts, shp, fit.spec, cam)
+    calib_params = fit.calibrate(kps[:4], max_iters=80, beta_shape=1.0)
     assert calib_params.shape == (4, 76)
     assert fit.has_prev == 1.0
+    assert fit.last_calib_ms > 0.0
     assert np.all(np.isfinite(np.asarray(fit.shape)))
     # the buffer's observations carry shape information, so the calibrated
-    # shape must move off zero toward the GT direction
-    w = np.asarray(fit.shape)
-    assert np.linalg.norm(w) > 1e-3
-    x, res = fit.step(_project_kp_shaped(gts[4], gt_shape, spec_shape, cam))
+    # shape must move off zero
+    assert np.linalg.norm(np.asarray(fit.shape)) > 1e-3
+    x, res = fit.step(kps[4])
     assert res is not None and np.all(np.isfinite(x))
-
-
-def _project_kp_shaped(gt_vec, shape, spec, cam):
-    uv = np.asarray(project(skeleton_joints_cam(gt_vec, shape, spec), cam))
-    kp = np.zeros((N_KP_SLOTS, 4))
-    kp[:, 0] = USE_SMPL
-    kp[:, 1:3] = uv[USE_SMPL]
-    kp[:, 3] = 1.0
-    return kp
 
 
 def test_stream_cli(tmp_path, rng):
     """End-to-end CLI on a synthetic on-disk dataset: log.csv schema,
-    params npz, skip-empty-frame, latency report."""
+    params npz (held rows keep a valid pose), skip-empty-frame, latency
+    report."""
     from smpltpu.pipeline import stream as stream_cli
     from test_pipeline import _make_dataset
 
@@ -185,6 +195,10 @@ def test_stream_cli(tmp_path, rng):
     dat = np.load(os.path.join(out_dir, "params_stream.npz"))
     assert dat["params"].shape[0] == 7
     assert list(dat["calib_frames"]) == [0, 1]
+    # the skipped frame's npz row HOLDS the previous pose (scale stays a
+    # valid body, never the zero row of a never-written slot)
+    assert not dat["emitted"][2]
+    np.testing.assert_array_equal(dat["params"][2], dat["params"][1])
 
 
 def test_stream_cli_usage_and_parse():
