@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Summarize a scripts/bench_sweep.sh log into one table.
+
+Usage: python scripts/analyze_sweep.py [/tmp/bench_sweep.log]
+
+Each sweep section looks like:
+    --- <tag> (ENV=...) HH:MM:SS ---
+    bench: ... stderr diagnostics ...
+    {"metric": ..., "value": N, ...}
+    rc=0 for <tag>
+This prints tag, frames/s, stage-1/stage-2 ms, residual px, and any
+render/stream lines, sorted fastest-first, plus the shipped-default
+recommendation rule (fastest at residual within 0.2 px of the best).
+"""
+
+import json
+import re
+import sys
+
+
+def parse(path):
+    runs, cur = [], None
+    for line in open(path, errors="replace"):
+        m = re.match(r"^--- (\S.*?) \((.*)\) (\d\d:\d\d:\d\d) ---", line)
+        if m:
+            cur = {"tag": m.group(1), "env": m.group(2), "fps": None,
+                   "s1_ms": None, "s2_ms": None, "px": None, "rc": None,
+                   "extra": []}
+            runs.append(cur)
+            continue
+        if cur is None:
+            continue
+        if line.startswith('{"metric"'):
+            try:
+                cur["fps"] = json.loads(line)["value"]
+            except ValueError:
+                pass
+        m = re.search(r"stage-1 (\d+) ms \+ stage-2 (\d+) ms", line)
+        if m:
+            cur["s1_ms"], cur["s2_ms"] = int(m.group(1)), int(m.group(2))
+        m = re.search(r"residual pixel error ([\d.]+)px", line)
+        if m:
+            cur["px"] = float(m.group(1))
+        if "frames/s raster" in line or "latency mean" in line:
+            cur["extra"].append(line.strip())
+        m = re.match(r"^rc=(\d+) for (.*)", line)
+        if m and m.group(2) == cur["tag"]:
+            cur["rc"] = int(m.group(1))
+    return runs
+
+
+def main(argv):
+    path = argv[0] if argv else "/tmp/bench_sweep.log"
+    runs = parse(path)
+    if not runs:
+        print(f"no sweep sections found in {path}")
+        return 1
+    ok = [r for r in runs if r["rc"] == 0 and r["fps"] is not None]
+    print(f"{'tag':24} {'frames/s':>9} {'s1 ms':>6} {'s2 ms':>6} "
+          f"{'px':>6}  env")
+    for r in sorted(runs, key=lambda r: -(r["fps"] or 0)):
+        fps = f"{r['fps']:.0f}" if r["fps"] is not None else "FAIL"
+        print(f"{r['tag']:24} {fps:>9} "
+              f"{r['s1_ms'] if r['s1_ms'] is not None else '-':>6} "
+              f"{r['s2_ms'] if r['s2_ms'] is not None else '-':>6} "
+              f"{r['px'] if r['px'] is not None else '-':>6}  {r['env']}")
+        for e in r["extra"]:
+            print(f"{'':24} {e}")
+    if ok:
+        best_px = min(r["px"] for r in ok if r["px"] is not None)
+        good = [r for r in ok
+                if r["px"] is not None and r["px"] <= best_px + 0.2]
+        pick = max(good, key=lambda r: r["fps"])
+        print(f"\nrecommended default (fastest within 0.2 px of best "
+              f"residual {best_px:.2f}): {pick['tag']} "
+              f"({pick['fps']:.0f} frames/s @ {pick['px']:.2f} px)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
