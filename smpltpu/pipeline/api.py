@@ -47,7 +47,7 @@ def fit_video(
     kp_batch: np.ndarray,        # (F, 17, 4) dense keypoints (io layout)
     width: int,
     height: int,
-    mode: str = "multi",         # 'single' | 'multi'
+    mode: str = "multi",         # 'single' | 'multi' | 'stream'
     beta_pose: float = 5.0,
     beta_shape: float = 25.0,
     lambda_temporal: float = 3.0,
@@ -60,11 +60,15 @@ def fit_video(
     s2_iters: int = 60,
     init_from_anchors: bool = True,
     want_verts: bool = False,
+    calib: int = 10,             # stream mode only: calibration buffer
     dtype=jnp.float32,
 ) -> FitResult:
     """Fit every frame of a video. 'single' = independent per-frame fits
     (reference 3dba_single); 'multi' = shared-shape anchors + batched
-    sliding windows (reference 3dba_multi, --batched-windows fast path)."""
+    sliding windows (reference 3dba_multi, --batched-windows fast path);
+    'stream' = causal per-frame warm-started solves with the shape locked
+    by a calibration buffer (solve/online.py — the serving mode; frames
+    with no detections hold the previous pose and report converged=False)."""
     model = SMPLModel.from_dict(model_dict, dtype=dtype)
     cam = default_intrinsics(width, height, dtype=dtype)
     r0 = np.asarray(init_root_rotation(), np.float64)
@@ -141,6 +145,34 @@ def fit_video(
             params[s:e] = fitted[wi, :e - s]
         converged = np.asarray(st2.converged)
         cost_history = np.asarray(st1.cost_history)
+    elif mode == "stream":
+        from smpltpu.solve.online import OnlineConfig, OnlineFitter
+
+        fit = OnlineFitter(
+            model, cam,
+            OnlineConfig(beta_pose=beta_pose,
+                         lambda_temporal=lambda_temporal,
+                         max_iters=max_iters),
+            gmm_dict=gmm_dict, dtype=dtype)
+        kp_np = np.asarray(kp_batch, np.float32)
+        valid_idx = np.flatnonzero(kp_np[:, :, 3].sum(axis=1) > 0)
+        params = np.tile(np.asarray(fit.prev), (n_frames, 1))
+        converged = np.zeros(n_frames, dtype=bool)
+        cost_history = np.zeros(max_iters)  # last streamed frame's trace
+        n_calib = min(calib, valid_idx.size)
+        start_at = 0
+        if n_calib > 0:
+            calib_idx = valid_idx[:n_calib]
+            params[calib_idx] = fit.calibrate(kp_np[calib_idx])
+            converged[calib_idx] = True
+            start_at = int(calib_idx[-1]) + 1
+        for i in range(start_at, n_frames):
+            p_i, res = fit.step(kp_np[i])
+            params[i] = p_i
+            converged[i] = res is not None and bool(res.converged)
+            cost_history = (np.asarray(res.cost_history) if res is not None
+                            else np.zeros(max_iters))
+        shape = np.asarray(fit.shape)
     else:
         raise ValueError(f"unknown mode {mode!r}")
 

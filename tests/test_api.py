@@ -54,6 +54,19 @@ def test_fit_video_multi_with_verts(small_model_dict, api_video):
     assert np.mean(res.errors_px) < 25.0
 
 
+def test_fit_video_stream(small_model_dict, api_video):
+    """mode='stream': causal per-frame fits, shape from the calibration
+    buffer, every frame emitted with a valid (non-degenerate) pose."""
+    res = fit_video(small_model_dict, api_video, W, H, mode="stream",
+                    beta_pose=1.0, lambda_temporal=1.0, max_iters=40,
+                    calib=3, dtype=jnp.float64)
+    assert res.params.shape == (9, 76)
+    assert res.shape.shape == (10,)
+    assert np.all(res.params[:, 0] > 0)       # scale stays a valid body
+    assert res.converged[:3].all()            # calibration frames
+    assert np.mean(res.errors_px) < 25.0
+
+
 def test_fit_video_bad_mode(small_model_dict, api_video):
     with pytest.raises(ValueError, match="unknown mode"):
         fit_video(small_model_dict, api_video, W, H, mode="banana")
