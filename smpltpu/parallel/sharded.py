@@ -299,7 +299,9 @@ def build_sharded_lm_fitter(
     The linear solve is ALWAYS the distributed halo-exchange PCG — an
     exact block-tridiagonal elimination is sequential across the frame
     shards, so ``cfg.linear`` does not apply here; ``cfg.cg_iters`` is
-    honored (the explicit ``cg_iters`` argument overrides it).
+    honored (the explicit ``cg_iters`` argument overrides it), and
+    ``cfg.cg_rtol > 0`` switches the CG loop to a tolerance exit (the
+    one-step ``build_sharded_gn_step`` building block keeps fixed trips).
     """
     if cg_iters is None:
         cg_iters = cfg.cg_iters
@@ -431,9 +433,34 @@ def build_sharded_lm_fitter(
                 return (x_p, x_w, r_p, r_w, z_p + beta * d_p,
                         z_w + beta * d_w, rho_new)
 
-            x_p, x_w, _, _, _, _, _ = jax.lax.fori_loop(
-                0, cg_iters, cg_body,
-                (x_p, x_w, r_p, r_w, z_p, z_w, rho0))
+            if cfg.cg_rtol > 0.0:
+                # tolerance exit (MultiFrameConfig.cg_rtol, same contract
+                # as the single-chip pcg loop): stop once the UNprecond.
+                # residual drops below rtol^2 * ||r0||^2. The psum'd
+                # residual norm is computed in the BODY and carried — a
+                # collective inside while_loop's cond is not legal under
+                # shard_map, the carried scalar is replicated so every
+                # shard exits on the same trip.
+                rr0 = pdot(r_p, r_w, r_p, r_w)
+                tol2 = (cfg.cg_rtol * cfg.cg_rtol) * rr0
+
+                def cond_cg(c):
+                    return (c[0] < cg_iters) & (c[1] > tol2)
+
+                def body_cg(c):
+                    new = cg_body(None, c[2:])
+                    rr = pdot(new[2], new[3], new[2], new[3])
+                    return (c[0] + 1, rr) + new
+
+                c = jax.lax.while_loop(
+                    cond_cg, body_cg,
+                    (jnp.asarray(0, jnp.int32), rr0,
+                     x_p, x_w, r_p, r_w, z_p, z_w, rho0))
+                x_p, x_w = c[2], c[3]
+            else:
+                x_p, x_w, _, _, _, _, _ = jax.lax.fori_loop(
+                    0, cg_iters, cg_body,
+                    (x_p, x_w, r_p, r_w, z_p, z_w, rho0))
 
             if cfg.dogleg:
                 # Powell dogleg: GN point (the PCG solution) + Cauchy

@@ -201,6 +201,34 @@ def test_sharded_lm_mesh_invariance_and_single_chip_parity(par_rig, rng):
     np.testing.assert_allclose(results[4][2], float(ref.cost), rtol=1e-6)
 
 
+def test_sharded_lm_cg_rtol_exit(par_rig, rng):
+    """cfg.cg_rtol on the sharded LM (tolerance-exit CG with the psum'd
+    residual carried in the loop state): a tight rtol must reproduce the
+    fixed-trip solver's optimum — every shard exits on the same trip, so
+    mesh execution stays correct."""
+    model, cam, spec = par_rig
+    f = 8
+    kp = jnp.asarray(_kp_batch(rng, f))
+    params = jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1))
+    r0 = jnp.tile(jnp.asarray(init_root_rotation()), (f, 1, 1))
+    w = jnp.zeros(10, jnp.float64)
+    mesh = frames_mesh(4)
+    outs = {}
+    for rtol in (0.0, 1e-10):
+        cfg = MultiFrameConfig(beta_pose=2.0, beta_shape=5.0,
+                               lambda_temporal=1.5, max_iters=12,
+                               cg_rtol=rtol)
+        fit = build_sharded_lm_fitter(mesh, spec, cam, cfg, 10,
+                                      cg_iters=250, dtype=jnp.float64)
+        outs[rtol] = fit(shard_frames(mesh, params), w,
+                         shard_frames(mesh, kp), shard_frames(mesh, r0))
+    np.testing.assert_allclose(float(outs[1e-10].cost),
+                               float(outs[0.0].cost), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[1e-10].params),
+                               np.asarray(outs[0.0].params),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_sharded_lm_frame_valid_padding(par_rig, rng):
     """Padding rows (frame_valid=0, masked keypoints) must not change the
     real frames' optimum: fit 6 real frames on a 4-device mesh by padding
