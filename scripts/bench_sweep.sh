@@ -30,4 +30,8 @@ run pcg-rtol3           BENCH_LINEAR=pcg BENCH_CG_RTOL=1e-3
 run pcg-rtol2           BENCH_LINEAR=pcg BENCH_CG_RTOL=1e-2
 run render-everything   BENCH_LINEAR=pcg BENCH_RENDER=1
 run stream-latency      BENCH_LINEAR=pcg BENCH_STREAM=1
+# scaling headroom: 10x the headline workload on the same chip (one
+# bigger vmapped window batch; fps should hold or improve as the fixed
+# dispatch/compile overheads amortize)
+run frames-10k          BENCH_LINEAR=pcg BENCH_FRAMES=10000
 echo "=== sweep done $(date -u +%FT%TZ) ===" | tee -a "$LOG"
