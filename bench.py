@@ -48,7 +48,7 @@ def main():
 
     from smpltpu.constants import N_KP_SLOTS, USE_SMPL, init_root_rotation
     from smpltpu.energy import make_skeleton_spec, skeleton_joints_cam
-    from smpltpu.energy.params import FrameParams, init_frame_params, pack_frame_params
+    from smpltpu.energy.params import init_frame_params
     from smpltpu.energy.reproj import project
     from smpltpu.models import SMPLModel, make_synthetic_model
     from smpltpu.solve import MultiFrameConfig, build_multi_fitter
@@ -72,15 +72,21 @@ def main():
     r0c = np.asarray(init_root_rotation(), np.float32)
 
     # smooth ground-truth motion -> projected keypoints + 1px noise
+    # (vectorized host-side: the per-frame pack_frame_params loop was ~5
+    # eager jnp dispatches per frame — minutes of setup at BENCH_FRAMES=10k)
     base = rng.normal(size=(23, 3)) * 0.15
     drift = rng.normal(size=(23, 3)) * 0.003
-    gt = jnp.stack([
-        pack_frame_params(FrameParams(
-            scale=jnp.float32(1.0),
-            root_aa=jnp.asarray([2e-3 * f, 1e-3 * f, 0.0], jnp.float32),
-            root_t=jnp.asarray([0.1 + 1e-3 * f, -0.1, 3.2], jnp.float32),
-            joint_aa=jnp.asarray(base + f * drift, jnp.float32)))
-        for f in range(N_FRAMES)])
+    fidx = np.arange(N_FRAMES, dtype=np.float32)
+    gt_np = np.zeros((N_FRAMES, 76), np.float32)
+    gt_np[:, 0] = 1.0                       # scale
+    gt_np[:, 1] = 2e-3 * fidx               # root_aa
+    gt_np[:, 2] = 1e-3 * fidx
+    gt_np[:, 4] = 0.1 + 1e-3 * fidx         # root_t
+    gt_np[:, 5] = -0.1
+    gt_np[:, 6] = 3.2
+    gt_np[:, 7:] = (base[None] + fidx[:, None, None] * drift[None]
+                    ).reshape(N_FRAMES, 69).astype(np.float32)
+    gt = jnp.asarray(gt_np)
     uv = np.asarray(jax.jit(jax.vmap(
         lambda p: project(skeleton_joints_cam(
             p, jnp.zeros(10, jnp.float32), spec), cam)))(gt))
