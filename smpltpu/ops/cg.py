@@ -40,7 +40,7 @@ PP = 128  # padded frame-param dim (P = 76 zero-extended; lane width)
 def _cg_kernel(d_ref, b_ref, c_ref, offp_ref, offm_ref, tm_ref,
                gp_ref, gw_ref, dinv_ref, cinv_ref,
                dp_ref, dw_ref, *, iters: int, n_s: int, f_dim: int,
-               matvec_mode: str = "batched"):
+               matvec_mode: str = "batched", rtol: float = 0.0):
     """One window's full PCG solve. Shapes (all f32, zero-padded to PP):
 
     d    (F, PP, PP)  symmetric damped GN diag blocks
@@ -113,15 +113,35 @@ def _cg_kernel(d_ref, b_ref, c_ref, offp_ref, offm_ref, tm_ref,
         return (x_p, x_w, r_p, r_w, z_p + beta * d_p, z_w + beta * d_w,
                 rho_n)
 
-    out = jax.lax.fori_loop(0, iters, body,
-                            (x_p, x_w, r_p, r_w, z_p, z_w, rho))
+    if rtol > 0.0:
+        # tolerance exit (MultiFrameConfig.cg_rtol): same contract as the
+        # XLA pcg loop — stop once the UNpreconditioned residual drops
+        # below rtol^2 * ||r0||^2; the scalar carry keeps the reduction
+        # out of the cond (one VPU reduction per body)
+        rr0 = jnp.sum(r_p * r_p) + jnp.sum(r_w * r_w)
+        tol2 = jnp.float32(rtol * rtol) * rr0
+
+        def cond(c):
+            return (c[0] < iters) & (c[1] > tol2)
+
+        def wbody(c):
+            new = body(None, c[2:])
+            rr = jnp.sum(new[2] * new[2]) + jnp.sum(new[3] * new[3])
+            return (c[0] + 1, rr) + new
+
+        out = jax.lax.while_loop(
+            cond, wbody, (jnp.asarray(0, jnp.int32), rr0,
+                          x_p, x_w, r_p, r_w, z_p, z_w, rho))[2:]
+    else:
+        out = jax.lax.fori_loop(0, iters, body,
+                                (x_p, x_w, r_p, r_w, z_p, z_w, rho))
     dp_ref[:] = out[0]
     dw_ref[:] = out[1]
 
 
 def arrow_pcg_pallas(d_blocks, off_scale, tmask, b_pw, c_reg, g_p, g_w,
                      iters: int = 64, interpret: bool = False,
-                     matvec_mode: str | None = None):
+                     matvec_mode: str | None = None, rtol: float = 0.0):
     """Drop-in f32 replacement for solve/multi_frame.arrow_pcg.
 
     d_blocks (F, P, P), off_scale (F-1,), tmask (P,), b_pw (F, P, nS),
@@ -156,7 +176,7 @@ def arrow_pcg_pallas(d_blocks, off_scale, tmask, b_pw, c_reg, g_p, g_w,
         import os
         matvec_mode = os.environ.get("SMPLTPU_CG_MATVEC", "batched")
     kern = functools.partial(_cg_kernel, iters=iters, n_s=n_s, f_dim=f_dim,
-                             matvec_mode=matvec_mode)
+                             matvec_mode=matvec_mode, rtol=float(rtol))
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     dp, dw = pl.pallas_call(
         kern,

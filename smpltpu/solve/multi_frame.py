@@ -113,7 +113,8 @@ class MultiFrameConfig(NamedTuple):
     # (same Krylov space, monotone step norm), unlike warm-starting
     # (rejected, docs/ROADMAP.md). Under vmap the exit lifts to "all
     # windows converged". 0 keeps the fixed-trip fori_loop (supports
-    # cg_unroll); ignored by pcg_kernel/tridiag/cr.
+    # cg_unroll). Honored by pcg, pcg_kernel (in-kernel while_loop), and
+    # the sharded LM's halo-exchange PCG; ignored by tridiag/cr (exact).
     cg_rtol: float = 0.0
     # fused_cost=True: ONE residual evaluation per LM iteration — the
     # candidate's cost comes out of its own normal-equation assembly
@@ -424,7 +425,7 @@ def build_multi_fitter(
             from smpltpu.ops.cg import arrow_pcg_pallas
             return arrow_pcg_pallas(
                 d_blocks, off_scale, tmask, b_pw, c_reg, g_p, g_w,
-                iters=cfg.cg_iters,
+                iters=cfg.cg_iters, rtol=cfg.cg_rtol,
                 interpret=jax.default_backend() == "cpu")
 
         lin = cfg.linear

@@ -95,6 +95,27 @@ def test_kernel_matches_recursion(rng):
     assert np.max(np.abs(u + gp)) < 1e-3 * max(1.0, np.max(np.abs(gp)))
 
 
+def test_kernel_rtol_exit(rng):
+    """In-kernel tolerance exit (rtol > 0, while_loop formulation): a tight
+    rtol that never fires must be bit-equivalent to the fixed-trip loop;
+    a loose rtol must stop early (larger residual) yet stay in the
+    embedded subspace (padded lanes exactly zero via the preconditioner)."""
+    d, off, tm, b, c, gp, gw = _random_system(rng)
+    args = (jnp.asarray(d), jnp.asarray(off), jnp.asarray(tm),
+            jnp.asarray(b), jnp.asarray(c), jnp.asarray(gp), jnp.asarray(gw))
+    fixed_p, fixed_w = arrow_pcg_pallas(*args, iters=24, interpret=True)
+    tight_p, tight_w = arrow_pcg_pallas(*args, iters=24, interpret=True,
+                                        rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(tight_p), np.asarray(fixed_p))
+    np.testing.assert_array_equal(np.asarray(tight_w), np.asarray(fixed_w))
+    loose_p, loose_w = arrow_pcg_pallas(*args, iters=24, interpret=True,
+                                        rtol=0.2)
+    assert np.all(np.isfinite(np.asarray(loose_p)))
+    # the loose exit truncates earlier: its iterate differs from the
+    # (essentially converged) 24-step solution
+    assert not np.allclose(np.asarray(loose_p), np.asarray(fixed_p))
+
+
 def test_kernel_vmaps_over_windows(rng):
     """vmap adds the window grid dim — must equal per-window calls."""
     systems = [_random_system(rng, scale=float(k + 1)) for k in range(3)]
