@@ -28,6 +28,7 @@ run pcg-it48            BENCH_LINEAR=pcg BENCH_CG_ITERS=48
 run pcg-it32            BENCH_LINEAR=pcg BENCH_CG_ITERS=32
 run pcg-rtol3           BENCH_LINEAR=pcg BENCH_CG_RTOL=1e-3
 run pcg-rtol2           BENCH_LINEAR=pcg BENCH_CG_RTOL=1e-2
+run pcgkern-rtol3       BENCH_LINEAR=pcg_kernel BENCH_CG_RTOL=1e-3
 run render-everything   BENCH_LINEAR=pcg BENCH_RENDER=1
 run stream-latency      BENCH_LINEAR=pcg BENCH_STREAM=1
 # scaling headroom: 10x the headline workload on the same chip (one
