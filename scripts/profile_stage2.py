@@ -99,6 +99,11 @@ def main():
         # formulation beats the fixed trip count end to end
         ("pcg rtol1e-3 fixed60", dict(ftol=0.0, linear="pcg", cg_rtol=1e-3)),
         ("pcg rtol1e-2 fixed60", dict(ftol=0.0, linear="pcg", cg_rtol=1e-2)),
+        # the 2026-08-18 shipped bench default (pcg + fused + it48) and
+        # its non-fused twin: attribute the remaining per-iteration floor
+        ("pcg48+fused fixed60", dict(ftol=0.0, linear="pcg", cg_iters=48,
+                                     fused_cost=True)),
+        ("pcg48 fixed60", dict(ftol=0.0, linear="pcg", cg_iters=48)),
         # early-exit machinery cost: same data, default ftol — the bench
         # measured 1390 ms here vs 1144 fixed; decide if the vmapped
         # while_loop any-unconverged exit pays for itself on this batch
@@ -173,7 +178,18 @@ def main():
 
     jasm = jax.jit(jax.vmap(assemble, in_axes=(0, 0, 0, 0)))
     dt = bench_one(jasm, p0, w0, kp, r0)
-    print(f"assembly (batch)        {dt * 1e3:7.1f} ms", file=sys.stderr)
+    print(f"assembly (batch, jvp)   {dt * 1e3:7.1f} ms", file=sys.stderr)
+
+    # the PRODUCTION assembly (analytic geometric Jacobian, the
+    # MultiFrameConfig.jacobian="analytic" default since round 2)
+    from smpltpu.solve.multi_frame import corrected_frame_assembly
+
+    jasm_a = jax.jit(jax.vmap(jax.vmap(
+        lambda a, b, c, d: corrected_frame_assembly(
+            a, b, c, d, cam, spec, delta),
+        in_axes=(0, None, 0, 0)), in_axes=(0, 0, 0, 0)))
+    dt = bench_one(jasm_a, p0, w0, kp, r0)
+    print(f"assembly (batch, analytic) {dt * 1e3:6.1f} ms", file=sys.stderr)
 
     h_pp, b_pw, h_ww, g_p, g_w = jax_block(jasm(p0, w0, kp, r0))
     d_blocks = h_pp + 1e-3 * jnp.eye(h_pp.shape[-1], dtype=jnp.float32)[None, None]

@@ -40,7 +40,8 @@ PP = 128  # padded frame-param dim (P = 76 zero-extended; lane width)
 def _cg_kernel(d_ref, b_ref, c_ref, offp_ref, offm_ref, tm_ref,
                gp_ref, gw_ref, dinv_ref, cinv_ref,
                dp_ref, dw_ref, *, iters: int, n_s: int, f_dim: int,
-               matvec_mode: str = "batched", rtol: float = 0.0):
+               matvec_mode: str = "batched", rtol: float = 0.0,
+               precision=None):
     """One window's full PCG solve. Shapes (all f32, zero-padded to PP):
 
     d    (F, PP, PP)  symmetric damped GN diag blocks
@@ -66,9 +67,12 @@ def _cg_kernel(d_ref, b_ref, c_ref, offp_ref, offm_ref, tm_ref,
     zrow = jnp.zeros((1, PP), f32)
 
     def matvec(v_p, v_w):
-        # block-diagonal: batched (PP, PP) @ (PP,) over frames (MXU).
-        # "unrolled" is the Mosaic fallback: F static (1, PP) @ (PP, PP)
-        # row-dots concatenated (D is symmetric, so row-form == col-form).
+        # block-diagonal: F static (1, PP) @ (PP, PP) row-dots
+        # concatenated (D is symmetric, so row-form == col-form) — MXU
+        # matmuls Mosaic compiles cleanly. The "batched" dot_general form
+        # is REJECTED by Mosaic on real v5e (libtpu 2026-08: "only
+        # constant accumulators supported" for the batched-contraction
+        # vector.multi_reduction) — kept selectable for future toolchains.
         if matvec_mode == "batched":
             u = jax.lax.dot_general(
                 d, v_p, (((2,), (1,)), ((0,), (0,))),
@@ -76,7 +80,7 @@ def _cg_kernel(d_ref, b_ref, c_ref, offp_ref, offm_ref, tm_ref,
         else:
             u = jnp.concatenate(
                 [jnp.dot(v_p[f:f + 1, :], d_ref[f],
-                         preferred_element_type=f32)
+                         preferred_element_type=f32, precision=precision)
                  for f in range(f_dim)], axis=0)
         # tridiagonal stencil: E_f = offp[f] * diag(tm)
         v_up = jnp.concatenate([v_p[1:], zrow], axis=0)
@@ -172,11 +176,19 @@ def arrow_pcg_pallas(d_blocks, off_scale, tmask, b_pw, c_reg, g_p, g_w,
     dinv = jnp.pad(dinv, ((0, 0), (0, pad_p)))
     cinv = (1.0 / jnp.maximum(jnp.diagonal(c), 1e-20))[:, None]
 
+    import os
     if matvec_mode is None:
-        import os
-        matvec_mode = os.environ.get("SMPLTPU_CG_MATVEC", "batched")
+        matvec_mode = os.environ.get("SMPLTPU_CG_MATVEC", "unrolled")
+    # MXU f32 matmul precision inside the kernel: "highest" runs the full
+    # multi-pass f32 decomposition — the kernel is overhead-bound, so the
+    # extra passes are nearly free, and the CG trajectory stays closer to
+    # the XLA loop's (measured residual drift 0.2-0.4 px at "default")
+    prec = {"default": None,
+            "highest": jax.lax.Precision.HIGHEST}[
+        os.environ.get("SMPLTPU_CG_PRECISION", "highest")]
     kern = functools.partial(_cg_kernel, iters=iters, n_s=n_s, f_dim=f_dim,
-                             matvec_mode=matvec_mode, rtol=float(rtol))
+                             matvec_mode=matvec_mode, rtol=float(rtol),
+                             precision=prec)
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     dp, dw = pl.pallas_call(
         kern,

@@ -11,7 +11,13 @@ LATENCY (reported p50/p95), not batch throughput.
     python -m smpltpu.pipeline.stream <SMPL.npz> <kps_folder> <images_folder>
         <out_dir> [max_iters=20] [beta_pose=5] [lambda_t=3]
         [--calib N=10] [--use-gmm] [--pose-prior <txt>] [--render]
-        [--jax-render] [--free-scale]
+        [--jax-render] [--free-scale] [--scan]
+
+``--scan`` switches the post-calibration stream to the causal REPLAY path
+(solve/online.build_online_scan): the identical per-frame recursion, but
+the whole frame chain runs inside one lax.scan dispatch — no host
+round-trip between frames, so the reported per-frame number is amortized
+throughput (the on-chip serving bound) instead of live dispatch latency.
 
 Numeric optionals are consumed in order (max_iters, beta_pose, lambda_t),
 interleaved with flags — same hand-rolled parser family as the reference
@@ -43,7 +49,7 @@ from smpltpu.solve.online import OnlineConfig, OnlineFitter
 USAGE = """usage: python -m smpltpu.pipeline.stream <SMPL.npz> <kps_folder> <images_folder> <out_dir>
                    [max_iters=20] [beta_pose=5] [lambda_t=3]
                    [--calib N] [--use-gmm] [--pose-prior <txt>]
-                   [--render] [--jax-render] [--free-scale]
+                   [--render] [--jax-render] [--free-scale] [--scan]
 """
 
 
@@ -59,6 +65,7 @@ def parse_args(argv):
         "max_iters": 20, "beta_pose": 5.0, "lambda_t": 3.0,
         "calib": 10, "use_gmm": False, "pose_prior": None,
         "render": False, "jax_render": False, "freeze_scale": True,
+        "scan": False,
     }
     seen_numeric = 0
     rest = list(argv[4:])
@@ -78,6 +85,8 @@ def parse_args(argv):
         elif a == "--free-scale":
             # scale gauge left free (see OnlineConfig.freeze_scale)
             opts["freeze_scale"] = False
+        elif a == "--scan":
+            opts["scan"] = True
         elif _is_number(a):
             if seen_numeric == 0:
                 opts["max_iters"] = max(1, int(float(a)))
@@ -132,12 +141,14 @@ def main(argv=None) -> int:
 
     # compile warm-up outside the latency measurement (the reference's
     # time_ms wraps only ceres::Solve; XLA's one-off trace/compile is the
-    # analogue of Ceres's problem construction, not of the solve)
-    timer = StageTimer()
-    fitter._step(fitter.prev, fitter.shape,
-                 jnp.asarray(kp[valid_idx[0]], jnp.float32),
-                 fitter.prev, jnp.asarray(0.0, jnp.float32)).x.block_until_ready()
-    print(f"[INFO] per-frame solver compiled in {timer.ms():.0f} ms")
+    # analogue of Ceres's problem construction, not of the solve). The
+    # scan path compiles its whole-sequence program on first use instead.
+    if not opts["scan"]:
+        timer = StageTimer()
+        fitter._step(fitter.prev, fitter.shape,
+                     jnp.asarray(kp[valid_idx[0]], jnp.float32),
+                     fitter.prev, jnp.asarray(0.0, jnp.float32)).x.block_until_ready()
+        print(f"[INFO] per-frame solver compiled in {timer.ms():.0f} ms")
 
     # fill with the init pose, not zeros: rows the stream never solves
     # (leading no-detection frames, gaps inside the calibration buffer)
@@ -167,22 +178,53 @@ def main(argv=None) -> int:
               "compile+first); locked for the stream")
 
     # ---- the stream ----
-    for i in range(start_at, n_frames):
+    if opts["scan"] and start_at < n_frames:
+        # causal replay: identical recursion, whole chain in one dispatch.
+        # Per-frame time_ms becomes the AMORTIZED solve time (compile and
+        # the first run excluded, same contract as the loop path's warm-up)
+        seq = kp[start_at:]
+        prev0, has0 = fitter.prev, fitter.has_prev
         timer = StageTimer()
-        p_i, res = fitter.step(kp[i])
-        if res is None:
-            # held pose: no log row / render (reference skip semantics)
-            # but the npz keeps the hold so frame rows are never zeros
+        xs, solved, _costs, _iters = fitter.replay(seq)
+        first_ms = timer.ms()
+        timer = StageTimer()
+        out = fitter._scan(jnp.asarray(prev0, fitter.dtype), fitter.shape,
+                           jnp.asarray(seq, fitter.dtype),
+                           jnp.asarray(has0, fitter.dtype))
+        out[0].block_until_ready()
+        scan_ms = timer.ms()
+        params[start_at:] = xs
+        n_solved = int(solved.sum())
+        for k in np.flatnonzero(~solved):
+            print(f"Frame {start_at + int(k)} has no valid keypoints; "
+                  "skipping.", file=sys.stderr)
+        if n_solved:
+            amort = scan_ms / n_solved
+            sidx = start_at + np.flatnonzero(solved)
+            time_ms[sidx] = amort
+            emitted[sidx] = True
+            latencies.extend([amort] * n_solved)
+            print(f"[INFO] scan replay: {n_solved} frames in one dispatch, "
+                  f"{scan_ms:.0f} ms solve ({amort:.2f} ms/frame amortized; "
+                  f"+{max(first_ms - scan_ms, 0):.0f} ms one-off "
+                  "compile+first)")
+    else:
+        for i in range(start_at, n_frames):
+            timer = StageTimer()
+            p_i, res = fitter.step(kp[i])
+            if res is None:
+                # held pose: no log row / render (reference skip semantics)
+                # but the npz keeps the hold so frame rows are never zeros
+                params[i] = p_i
+                print(f"Frame {i} has no valid keypoints; skipping.",
+                      file=sys.stderr)
+                continue
+            res.x.block_until_ready()
+            dt = timer.ms()
             params[i] = p_i
-            print(f"Frame {i} has no valid keypoints; skipping.",
-                  file=sys.stderr)
-            continue
-        res.x.block_until_ready()
-        dt = timer.ms()
-        params[i] = p_i
-        time_ms[i] = dt
-        emitted[i] = True
-        latencies.append(dt)
+            time_ms[i] = dt
+            emitted[i] = True
+            latencies.append(dt)
 
     if latencies:
         lat = np.asarray(latencies)

@@ -17,6 +17,7 @@ from smpltpu.solve.multi_frame import (  # noqa: F401
 from smpltpu.solve.online import (  # noqa: F401
     OnlineConfig,
     OnlineFitter,
+    build_online_scan,
     build_online_step,
 )
 from smpltpu.solve.single_frame import (  # noqa: F401

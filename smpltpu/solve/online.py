@@ -74,9 +74,11 @@ def build_online_step(
     n_joints: int,
     gmm: Optional[GMMPrior] = None,
     dtype=jnp.float32,
+    jit: bool = True,
 ):
     """Return a jitted fn(x0 (P,), shape (nS,), kp (K,4), prev (P,),
-    has_prev ()) -> LMResult fitting ONE frame.
+    has_prev ()) -> LMResult fitting ONE frame. ``jit=False`` returns the
+    raw traceable step (used by :func:`build_online_scan`).
 
     ``has_prev`` (0.0/1.0) gates the temporal tether so the first frame of
     a stream solves the plain single-frame problem; with
@@ -123,7 +125,63 @@ def build_online_step(
             lambda x: residual(x, shape, kp, prev, has_prev),
             x0, lmcfg, lower=lower_j, upper=upper_j, frozen=frozen_j)
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
+
+
+def build_online_scan(
+    spec: SkeletonSpec,
+    cam: Camera,
+    cfg: OnlineConfig,
+    n_joints: int,
+    gmm: Optional[GMMPrior] = None,
+    dtype=jnp.float32,
+):
+    """Whole-stream causal replay: the per-frame online step scanned over
+    the frame axis in ONE jitted dispatch.
+
+    Same recursion as driving :func:`build_online_step` frame by frame
+    (warm start + temporal tether to the previous optimum, shape locked),
+    but the sequential dependency chain lives inside a ``lax.scan`` — so
+    the per-frame cost on TPU is the LM solve alone, with no host
+    round-trip between frames (the live-serving path pays a ~28 ms
+    dispatch floor per frame through the tunnel; this is the causal
+    THROUGHPUT number, and the true latency bound once a host loop runs
+    chip-adjacent). Empty frames are held in-graph via ``lax.cond``
+    (only the hold branch executes), matching OnlineFitter.step's
+    host-side skip semantics: params hold at the previous frame, the
+    tether gate is unchanged.
+
+    Returns jitted ``fn(x0 (P,), shape (nS,), kp_seq (F, K, 4),
+    has_prev0 ()) -> (xs (F, P), costs (F,), iters (F,), solved (F,))``.
+    """
+    step = build_online_step(spec, cam, cfg, n_joints, gmm=gmm,
+                             dtype=dtype, jit=False)
+
+    def scan_fit(x0, shape, kp_seq, has_prev0):
+        def body(carry, kp):
+            prev, has_prev = carry
+
+            def do(_):
+                r = step(prev, shape, kp, prev, has_prev)
+                return (r.x, r.cost.astype(dtype),
+                        r.iters_run.astype(jnp.int32),
+                        jnp.asarray(True))
+
+            def hold(_):
+                return (prev, jnp.asarray(0.0, dtype),
+                        jnp.asarray(0, jnp.int32), jnp.asarray(False))
+
+            valid = jnp.sum(kp[:, 3]) > 0.0
+            x, cost, iters, solved = jax.lax.cond(valid, do, hold, None)
+            new_has = jnp.where(solved, jnp.asarray(1.0, dtype), has_prev)
+            return (x, new_has), (x, cost, iters, solved)
+
+        (_, _), out = jax.lax.scan(
+            body, (x0.astype(dtype), jnp.asarray(has_prev0, dtype)),
+            kp_seq.astype(dtype))
+        return out
+
+    return jax.jit(scan_fit)
 
 
 class OnlineFitter:
@@ -161,6 +219,8 @@ class OnlineFitter:
         gmm = None
         if gmm_dict is not None and cfg.beta_pose > 0.0:
             gmm = GMMPrior.from_dict(gmm_dict, beta=cfg.beta_pose, dtype=dtype)
+        self._gmm = gmm
+        self._scan = None
         self._step = build_online_step(
             self.spec, cam, cfg, model.num_joints, gmm=gmm, dtype=dtype)
         self.shape = jnp.asarray(
@@ -206,6 +266,31 @@ class OnlineFitter:
         self.has_prev = 1.0
         self.n_seen += f
         return np.asarray(st.params)
+
+    def replay(self, kp_frames: np.ndarray):
+        """Causal whole-sequence fit in ONE dispatch (build_online_scan):
+        identical recursion to calling step() per frame (pinned by
+        tests/test_online.py), but the frame chain runs inside lax.scan —
+        the causal THROUGHPUT path. Advances the fitter state to the end
+        of the sequence. Returns (params (F, P), solved (F,) bool,
+        costs (F,), iters (F,)) as numpy; unsolved (empty) frames hold the
+        previous pose in params."""
+        if self._scan is None:
+            self._scan = build_online_scan(
+                self.spec, self.cam, self.cfg, self.model.num_joints,
+                gmm=self._gmm, dtype=self.dtype)
+        xs, costs, iters, solved = self._scan(
+            jnp.asarray(self.prev, self.dtype), self.shape,
+            jnp.asarray(kp_frames, self.dtype),
+            jnp.asarray(self.has_prev, self.dtype))
+        xs_np, solved_np = np.asarray(xs), np.asarray(solved)
+        n = int(kp_frames.shape[0])
+        self.n_seen += n
+        if n:
+            self.prev = xs[-1]
+            if solved_np.any():
+                self.has_prev = 1.0
+        return xs_np, solved_np, np.asarray(costs), np.asarray(iters)
 
     def step(self, kp_dense: np.ndarray):
         """Fit one frame. Returns (params (P,) np, LMResult-or-None);

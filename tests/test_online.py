@@ -211,3 +211,56 @@ def test_stream_cli_usage_and_parse():
     assert opts["max_iters"] == 30 and opts["calib"] == 5
     assert opts["beta_pose"] == 2.5 and opts["lambda_t"] == 0.5
     assert opts["freeze_scale"] is False and opts["render"] is True
+
+
+def test_scan_replay_matches_stepwise(online_rig):
+    """build_online_scan is the SAME recursion as step-by-step streaming:
+    whole-chain lax.scan params match the per-frame loop (f64, tight),
+    empty frames hold in-graph exactly like the host-side skip, and the
+    fitter state advances to the end of the sequence."""
+    model, cam = online_rig
+    n = 6
+    gts = _gt_stream(seed=23, n_frames=n)
+    cfg = OnlineConfig(beta_pose=1.0, lambda_temporal=1.0, max_iters=40)
+    fit_loop = OnlineFitter(model, cam, cfg, dtype=jnp.float64)
+    kps = _kp_batch_from(gts, jnp.zeros((n, 10)), fit_loop.spec, cam)
+    kps[2, :, 1:] = 0.0                      # empty frame mid-stream
+
+    xs_loop = np.stack([fit_loop.step(kps[f])[0] for f in range(n)])
+
+    fit_scan = OnlineFitter(model, cam, cfg, dtype=jnp.float64)
+    xs, solved, costs, iters = fit_scan.replay(kps)
+
+    np.testing.assert_array_equal(
+        solved, [True, True, False, True, True, True])
+    np.testing.assert_array_equal(xs[2], xs[1])   # in-graph hold
+    assert costs[2] == 0.0 and iters[2] == 0
+    np.testing.assert_allclose(xs, xs_loop, rtol=1e-9, atol=1e-10)
+    # state advanced: a follow-up per-frame step starts warm from frame n-1
+    np.testing.assert_array_equal(np.asarray(fit_scan.prev), xs[-1])
+    assert fit_scan.has_prev == 1.0 and fit_scan.n_seen == n
+
+
+def test_stream_cli_scan(tmp_path, rng):
+    """--scan drives the causal-replay path end-to-end: same skip/log
+    semantics as the per-frame loop, amortized time_ms, held npz rows."""
+    from smpltpu.pipeline import stream as stream_cli
+    from test_pipeline import _make_dataset
+
+    model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng,
+                                                empty_frames=(2,))
+    out_dir = str(tmp_path / "out_stream_scan")
+    rc = stream_cli.main([model_path, kp_dir, img_dir, out_dir,
+                          "12", "1.0", "1.0", "--calib", "2", "--scan"])
+    assert rc == 0
+    log = open(os.path.join(out_dir, "log.csv")).read().splitlines()
+    assert log[0] == "frame,mean_pixel_error_px,time_ms"
+    frames_logged = [int(r.split(",")[0]) for r in log[1:]]
+    assert 2 not in frames_logged and len(frames_logged) == 6
+    errs = [float(r.split(",")[1]) for r in log[1:]]
+    assert max(errs) < 25.0, errs
+    dat = np.load(os.path.join(out_dir, "params_stream.npz"))
+    assert not dat["emitted"][2]
+    np.testing.assert_array_equal(dat["params"][2], dat["params"][1])
+    opts = stream_cli.parse_args(["m", "k", "i", "o", "--scan"])
+    assert opts["scan"] is True
