@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Summarize a scripts/bench_sweep.sh log into one table.
+"""Summarize scripts/bench_sweep*.sh logs into one table.
 
-Usage: python scripts/analyze_sweep.py [/tmp/bench_sweep.log]
+Usage: python scripts/analyze_sweep.py [log ...]   (default /tmp/bench_sweep.log;
+multiple logs merge into one ranked table — later logs win duplicate tags)
 
 Each sweep section looks like:
     --- <tag> (ENV=...) HH:MM:SS ---
@@ -41,7 +42,8 @@ def parse(path):
         m = re.search(r"residual pixel error ([\d.]+)px", line)
         if m:
             cur["px"] = float(m.group(1))
-        if "frames/s raster" in line or "latency mean" in line:
+        if ("frames/s raster" in line or "latency mean" in line
+                or "stream-scan" in line and "ms/frame" in line):
             cur["extra"].append(line.strip())
         m = re.match(r"^rc=(\d+) for (.*)", line)
         if m and m.group(2) == cur["tag"]:
@@ -50,10 +52,14 @@ def parse(path):
 
 
 def main(argv):
-    path = argv[0] if argv else "/tmp/bench_sweep.log"
-    runs = parse(path)
+    paths = argv if argv else ["/tmp/bench_sweep.log"]
+    by_tag = {}
+    for path in paths:
+        for r in parse(path):
+            by_tag[r["tag"]] = r          # later logs win duplicate tags
+    runs = list(by_tag.values())
     if not runs:
-        print(f"no sweep sections found in {path}")
+        print(f"no sweep sections found in {paths}")
         return 1
     ok = [r for r in runs if r["rc"] == 0 and r["fps"] is not None]
     print(f"{'tag':24} {'frames/s':>9} {'s1 ms':>6} {'s2 ms':>6} "
