@@ -132,6 +132,10 @@ def main():
     cg_unroll = int(os.environ.get("BENCH_CG_UNROLL", "1"))
     cg_rtol = float(os.environ.get("BENCH_CG_RTOL", "0"))
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    # stage-2 window-batch chunk size (0 = one vmapped batch). Large window
+    # batches pay the slowest window's iteration count across the whole
+    # width; chunking bounds that tail (build_chunked_window_fit docstring).
+    chunk = int(os.environ.get("BENCH_CHUNK", "0"))
     cfg1 = MultiFrameConfig(beta_pose=5.0, beta_shape=25.0,
                             lambda_temporal=3.0, max_iters=150, linear=linear,
                             cg_iters=cg_iters, cg_unroll=cg_unroll,
@@ -204,11 +208,16 @@ def main():
     if mesh is not None:
         def bfit(a, b, c, d, e):
             return sharded_window_fit(mesh, fit, a, b, c, d, e)
+    elif chunk > 0:
+        from smpltpu.solve import build_chunked_window_fit
+        bfit = build_chunked_window_fit(fit, chunk)
     else:
         bfit = jax.jit(jax.vmap(lambda a, b, c, d, e: fit(a, b, c, d, e)))
 
     log(f"bench: {n_win} windows (+{pad_w} pad) x {WSIZE} frames x "
-        f"{S2_ITERS} LM iters on {n_dev if mesh else 1} device(s); compiling...")
+        f"{S2_ITERS} LM iters on {n_dev if mesh else 1} device(s)"
+        + (f", chunked x{chunk}" if chunk > 0 and mesh is None else "")
+        + "; compiling...")
     t0 = time.perf_counter()
     st = bfit(p0, w0, kpj, r0, vj)
     st.params.block_until_ready()

@@ -11,6 +11,7 @@ from smpltpu.solve.lm import LMConfig, LMState, lm_solve  # noqa: F401
 from smpltpu.solve.multi_frame import (  # noqa: F401
     MultiFrameConfig,
     MultiFrameState,
+    build_chunked_window_fit,
     build_multi_fitter,
     fit_multi_frame,
 )

@@ -638,6 +638,46 @@ def build_multi_fitter(
     return jax.jit(fit)
 
 
+def build_chunked_window_fit(fitter, chunk_size: int):
+    """Batch many independent window solves in chunks of ``chunk_size``.
+
+    ``jax.vmap`` lifts the convergence-exit while_loop's condition to "any
+    window in the batch still unconverged", so the whole batch runs until
+    its SLOWEST member finishes. The tail grows with batch width: on the
+    10k-frame bench workload the slowest of 667 windows needs ~1.9x the
+    iterations of the slowest of 67 (8.2 -> 15.5 ms/window, 1618 -> 945
+    frames/s). A ``lax.map`` over fixed-size chunks gives every chunk its
+    own while_loop exit, so total work is the SUM of per-chunk iteration
+    maxima instead of the global maximum paid across the full width.
+
+    Per-window results are identical to the single vmapped batch: a
+    converged window freezes (``step``'s do_move / radius masks), so its
+    trajectory never depends on how many extra iterations its batch ran.
+    Pinned by tests/test_multi_frame.py::test_chunked_window_fit_matches_vmap.
+
+    The batch is padded to a chunk multiple by replicating the last
+    window (well-conditioned by construction); padded outputs are
+    stripped. All five per-window arguments are required (pass an
+    all-ones frame_valid if every frame is real).
+    """
+    vfit = jax.vmap(lambda a, b, c, d, e: fitter(a, b, c, d, e))
+
+    def run(params0, shape0, kp, r0, frame_valid):
+        n = params0.shape[0]
+        pad = (-n) % chunk_size
+        args = (params0, shape0, kp, r0, frame_valid)
+        if pad:
+            args = tuple(
+                jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+                for x in args)
+        args = tuple(x.reshape((-1, chunk_size) + x.shape[1:]) for x in args)
+        out = jax.lax.map(lambda xs: vfit(*xs), args)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
+
+    return jax.jit(run)
+
+
 _multi_cache: dict = {}
 
 

@@ -17,7 +17,11 @@ from smpltpu.energy.params import (
 )
 from smpltpu.energy.reproj import project
 from smpltpu.models import SMPLModel
-from smpltpu.solve.multi_frame import MultiFrameConfig, build_multi_fitter
+from smpltpu.solve.multi_frame import (
+    MultiFrameConfig,
+    build_chunked_window_fit,
+    build_multi_fitter,
+)
 from smpltpu.solve.tridiag import block_tridiag_solve, block_tridiag_solve_cr
 from smpltpu.utils import default_intrinsics
 
@@ -202,6 +206,44 @@ def test_vmapped_windows(mf_rig, rng):
     single = fit(p0s[1], w0[1], kps[1], r0[1])
     np.testing.assert_allclose(np.asarray(batched.params[1]),
                                np.asarray(single.params), atol=1e-8)
+
+
+def test_chunked_window_fit_matches_vmap(mf_rig, rng):
+    """build_chunked_window_fit (lax.map over chunk-sized vmapped batches,
+    each with its own convergence exit) must reproduce the single vmapped
+    batch exactly: converged windows freeze inside the while_loop, so a
+    window's trajectory is independent of how long its batch keeps
+    running. Uses n_win=5, chunk=2 so the replicate-last-window padding
+    path is exercised too."""
+    model, cam, spec = mf_rig
+    n_win, f = 5, 4
+    cfg = MultiFrameConfig(beta_pose=2.0, beta_shape=1e5, lambda_temporal=3.0,
+                           max_iters=30)
+    fit = build_multi_fitter(spec, cam, cfg, 10, dtype=jnp.float64)
+    kps, p0s = [], []
+    for k in range(n_win):
+        gtp = _smooth_gt_video(rng, f)
+        kps.append(_project_video(gtp, jnp.zeros(10), spec, cam))
+        p0s.append(jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1)))
+    kps = jnp.asarray(np.stack(kps))
+    p0s = jnp.stack(p0s)
+    r0 = jnp.tile(jnp.asarray(init_root_rotation()), (n_win, f, 1, 1))
+    w0 = jnp.zeros((n_win, 10), jnp.float64)
+    valid = jnp.ones((n_win, f), jnp.float64)
+
+    full = jax.vmap(lambda a, b, c, d, e: fit(a, b, c, d, e))(
+        p0s, w0, kps, r0, valid)
+    chunked = build_chunked_window_fit(fit, 2)(p0s, w0, kps, r0, valid)
+
+    assert chunked.params.shape == (n_win, f, p0s.shape[-1])
+    np.testing.assert_allclose(np.asarray(chunked.params),
+                               np.asarray(full.params), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(chunked.shape),
+                               np.asarray(full.shape), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(chunked.iters_run),
+                                  np.asarray(full.iters_run))
+    np.testing.assert_array_equal(np.asarray(chunked.converged),
+                                  np.asarray(full.converged))
 
 
 def test_pcg_matches_exact_solver(mf_rig, rng):
