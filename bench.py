@@ -118,17 +118,21 @@ def main():
     anchor_idx = np.arange(0, N_FRAMES, 10)
     n_a = len(anchor_idx)
     # Shipped default = the measured-fastest config within 0.2 px of the
-    # best residual (2026-08-18 v5e sweep, scripts/analyze_sweep.py):
-    # Jacobi-PCG arrowhead solve + fused-cost LM loop + 48 CG iterations
-    # -> 1618 frames/s @ 1.22 px (vs 1350 @ 1.25 for plain pcg-it64; the
-    # exact cyclic-reduction solver measured 673). pcg_kernel (whole PCG
+    # best residual (2026-08-18 v5e sweeps, scripts/analyze_sweep.py):
+    # Jacobi-PCG arrowhead solve + fused-cost LM loop + 40 CG iterations
+    # -> 1729 frames/s @ 1.32 px. The cg_iters grid: it48 1637 @ 1.22,
+    # it44 1684 @ 1.24, it40 1729 @ 1.32, it36 1805 @ 1.42 (out of the
+    # 1.41 budget line), it32 1812 @ 1.56 (out). pcg_kernel (whole PCG
     # in one VMEM-resident Pallas program) is FASTER still (1718-2040) but
     # its on-TPU residual drifts 0.2-0.4 px above the XLA loop (MXU f32
     # matmul precision inside the kernel changes the CG trajectory) — out
     # of the residual budget, so not the default. "tridiag" stays the
-    # LIBRARY default for exactness on arbitrary conditioning.
+    # LIBRARY default for exactness on arbitrary conditioning. For 10x
+    # longer videos add BENCH_CHUNK=67 (+ CG_ITERS=64 to hold residual):
+    # 10k frames 1617 @ 1.25 vs 945 unchunked (the vmapped batch pays its
+    # slowest window's iterations across the full width).
     linear = os.environ.get("BENCH_LINEAR", "pcg")
-    cg_iters = int(os.environ.get("BENCH_CG_ITERS", "48"))
+    cg_iters = int(os.environ.get("BENCH_CG_ITERS", "40"))
     cg_unroll = int(os.environ.get("BENCH_CG_UNROLL", "1"))
     cg_rtol = float(os.environ.get("BENCH_CG_RTOL", "0"))
     fused = os.environ.get("BENCH_FUSED", "1") == "1"

@@ -29,6 +29,9 @@ windows — under the lock it moves by ~0, same optima.
 Fast path: --batched-windows solves ALL stage-2 windows at once (vmapped,
 the 'full-video batched fitting' config of BASELINE.json) instead of
 sequentially; sequential is the default for init-chaining parity.
+--window-chunk N splits the batch into N-window chunks with independent
+convergence exits (bounds the slowest-window tail on long videos; see
+solve/multi_frame.build_chunked_window_fit).
 """
 
 from __future__ import annotations
@@ -88,6 +91,10 @@ def parse_args(argv):
         # checkpoint backend (utils/ckpt.py): "npz" (atomic single file,
         # default) or "orbax" (JAX-ecosystem PyTree directory)
         "ckpt_backend": "npz",
+        # --batched-windows chunk size (0 = one vmapped batch). A vmapped
+        # convergence-exit solve runs until its SLOWEST window; on very
+        # long videos chunking bounds that tail (build_chunked_window_fit)
+        "window_chunk": 0,
     }
     positional = ["max_iters_s1", "max_iters_s2", "skip", "wsize", "overlap",
                   "beta_pose", "beta_shape", "lambda_t"]
@@ -114,6 +121,8 @@ def parse_args(argv):
             opts["s2_iters"] = max(1, int(float(rest.pop(0))))
         elif a == "--mesh" and rest:
             opts["mesh"] = max(0, int(float(rest.pop(0))))
+        elif a == "--window-chunk" and rest:
+            opts["window_chunk"] = max(0, int(float(rest.pop(0))))
         elif a == "--pose-prior" and rest:
             opts["pose_prior"] = rest.pop(0)
         elif a == "--cg-rtol" and rest:
@@ -423,6 +432,10 @@ def main(argv=None) -> int:
                 # solves its slice with the single-chip fitter)
                 from smpltpu.parallel import sharded_window_fit
                 st2 = sharded_window_fit(mesh, fit2, bp, bw, bk, br, bv)
+            elif opts["window_chunk"] > 0:
+                from smpltpu.solve import build_chunked_window_fit
+                st2 = build_chunked_window_fit(
+                    fit2, opts["window_chunk"])(bp, bw, bk, br, bv)
             else:
                 st2 = jax.jit(jax.vmap(
                     lambda a, b, c, d, e: fit2(a, b, c, d, e)))(

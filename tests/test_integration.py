@@ -192,6 +192,12 @@ def test_stage2_batched_vs_sequential_on_video1(v1_multi_env, v1_base_run):
     assert e_anch <= max(1.2 * e_seq, e_seq + 1.0), (e_seq, e_bat, e_anch)
     # and the batched paths must both be sane fits at this resolution
     assert e_bat < 40.0 and e_anch < 40.0, (e_seq, e_bat, e_anch)
+    # --window-chunk: per-chunk convergence exits must not change the
+    # optima (converged windows freeze; library equivalence is pinned
+    # bit-tight in test_multi_frame.py — here just the CLI wiring, f32)
+    _, e_chunk = _run_v1_multi(v1_multi_env, "chunk",
+                               ["--batched-windows", "--window-chunk", "2"])
+    assert abs(e_chunk - e_bat) <= max(0.01 * e_bat, 0.05), (e_bat, e_chunk)
 
 
 @pytest.mark.skipif(not os.path.isdir(VIDEO1_KPS),
