@@ -140,6 +140,10 @@ def main():
     # batches pay the slowest window's iteration count across the whole
     # width; chunking bounds that tail (build_chunked_window_fit docstring).
     chunk = int(os.environ.get("BENCH_CHUNK", "0"))
+    if chunk > 0 and cg_rtol > 0:
+        log("bench: WARNING BENCH_CHUNK with BENCH_CG_RTOL>0: the CG "
+            "tolerance exit is batch-shared, so optima depend on chunk "
+            "width (see build_chunked_window_fit)")
     cfg1 = MultiFrameConfig(beta_pose=5.0, beta_shape=25.0,
                             lambda_temporal=3.0, max_iters=150, linear=linear,
                             cg_iters=cg_iters, cg_unroll=cg_unroll,
@@ -324,11 +328,12 @@ def main():
         t0 = time.perf_counter()
         outs = []
         for s in range(0, N_FRAMES, CH):
-            chunk = pj[s:s + CH]
-            if chunk.shape[0] < CH:   # pad the tail to the compiled shape
-                chunk = jnp.concatenate(
-                    [chunk, jnp.tile(chunk[-1:], (CH - chunk.shape[0], 1))])
-            outs.append(rchunk(chunk))
+            pj_chunk = pj[s:s + CH]
+            if pj_chunk.shape[0] < CH:  # pad the tail to the compiled shape
+                pj_chunk = jnp.concatenate(
+                    [pj_chunk,
+                     jnp.tile(pj_chunk[-1:], (CH - pj_chunk.shape[0], 1))])
+            outs.append(rchunk(pj_chunk))
         outs[-1].block_until_ready()
         dtr = time.perf_counter() - t0
         fps_r = N_FRAMES / (dt + dtr)

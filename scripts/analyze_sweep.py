@@ -11,7 +11,12 @@ Each sweep section looks like:
     rc=0 for <tag>
 This prints tag, frames/s, stage-1/stage-2 ms, residual px, and any
 render/stream lines, sorted fastest-first, plus the shipped-default
-recommendation rule (fastest at residual within 0.2 px of the best).
+recommendation rule (fastest at residual within 0.2 px of the best,
+computed over HEADLINE-workload runs only — BENCH_FRAMES/BENCH_CHUNK
+rows are listed but excluded from the pick). Run it over ALL of
+docs/measurements/bench_sweep*.log when deciding the shipped default:
+a partial grid can understate best_px and let an out-of-budget config
+win.
 """
 
 import json
@@ -72,13 +77,23 @@ def main(argv):
               f"{r['px'] if r['px'] is not None else '-':>6}  {r['env']}")
         for e in r["extra"]:
             print(f"{'':24} {e}")
-    if ok:
-        best_px = min(r["px"] for r in ok if r["px"] is not None)
-        good = [r for r in ok
-                if r["px"] is not None and r["px"] <= best_px + 0.2]
+    # Recommendation rule: only HEADLINE-workload runs compete — a
+    # BENCH_FRAMES=10000 row's fps (10x the work) or a BENCH_CHUNK row
+    # (different dispatch structure) is not comparable with the default
+    # 1000-frame vmapped workload, and must neither set best_px nor win.
+    headline = [r for r in ok
+                if "BENCH_FRAMES" not in r["env"]
+                and "BENCH_CHUNK" not in r["env"]
+                and r["px"] is not None]
+    if headline:
+        best_px = min(r["px"] for r in headline)
+        good = [r for r in headline if r["px"] <= best_px + 0.2]
         pick = max(good, key=lambda r: r["fps"])
+        n_skip = len(ok) - len(headline)
         print(f"\nrecommended default (fastest within 0.2 px of best "
-              f"residual {best_px:.2f}): {pick['tag']} "
+              f"residual {best_px:.2f}, headline workload only"
+              + (f"; {n_skip} non-headline run(s) excluded" if n_skip else "")
+              + f"): {pick['tag']} "
               f"({pick['fps']:.0f} frames/s @ {pick['px']:.2f} px)")
     return 0
 

@@ -76,7 +76,7 @@ def _cg_kernel(d_ref, b_ref, c_ref, offp_ref, offm_ref, tm_ref,
         if matvec_mode == "batched":
             u = jax.lax.dot_general(
                 d, v_p, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32)
+                preferred_element_type=f32, precision=precision)
         else:
             u = jnp.concatenate(
                 [jnp.dot(v_p[f:f + 1, :], d_ref[f],
@@ -183,9 +183,13 @@ def arrow_pcg_pallas(d_blocks, off_scale, tmask, b_pw, c_reg, g_p, g_w,
     # multi-pass f32 decomposition — the kernel is overhead-bound, so the
     # extra passes are nearly free, and the CG trajectory stays closer to
     # the XLA loop's (measured residual drift 0.2-0.4 px at "default")
-    prec = {"default": None,
-            "highest": jax.lax.Precision.HIGHEST}[
-        os.environ.get("SMPLTPU_CG_PRECISION", "highest")]
+    prec_name = os.environ.get("SMPLTPU_CG_PRECISION", "highest")
+    prec_table = {"default": None, "highest": jax.lax.Precision.HIGHEST}
+    if prec_name not in prec_table:
+        raise ValueError(
+            f"SMPLTPU_CG_PRECISION must be one of {sorted(prec_table)}, "
+            f"got {prec_name!r}")
+    prec = prec_table[prec_name]
     kern = functools.partial(_cg_kernel, iters=iters, n_s=n_s, f_dim=f_dim,
                              matvec_mode=matvec_mode, rtol=float(rtol),
                              precision=prec)

@@ -158,20 +158,27 @@ def fit_video(
         valid_idx = np.flatnonzero(kp_np[:, :, 3].sum(axis=1) > 0)
         params = np.tile(np.asarray(fit.prev), (n_frames, 1))
         converged = np.zeros(n_frames, dtype=bool)
-        cost_history = np.zeros(max_iters)  # last streamed frame's trace
         n_calib = min(calib, valid_idx.size)
         start_at = 0
         if n_calib > 0:
             calib_idx = valid_idx[:n_calib]
-            params[calib_idx] = fit.calibrate(kp_np[calib_idx])
+            params[calib_idx] = fit.calibrate(kp_np[calib_idx],
+                                              beta_shape=beta_shape)
             converged[calib_idx] = True
             start_at = int(calib_idx[-1]) + 1
-        for i in range(start_at, n_frames):
-            p_i, res = fit.step(kp_np[i])
-            params[i] = p_i
-            converged[i] = res is not None and bool(res.converged)
-            cost_history = (np.asarray(res.cost_history) if res is not None
-                            else np.zeros(max_iters))
+        # causal replay: the whole post-calibration chain in ONE dispatch
+        # (identical recursion to per-frame step(), pinned in
+        # tests/test_online.py — avoids the ~28 ms/frame dispatch floor
+        # a host-side step loop pays through the TPU tunnel)
+        costs = np.zeros(n_frames)
+        if start_at < n_frames:
+            xs, _solved, fcosts, _iters, conv = fit.replay(kp_np[start_at:])
+            params[start_at:] = xs
+            converged[start_at:] = conv
+            costs[start_at:] = fcosts
+        # streamed mode: per-frame FINAL costs (a full per-iteration trace
+        # is a step()-loop affordance; use OnlineFitter directly for that)
+        cost_history = costs
         shape = np.asarray(fit.shape)
     else:
         raise ValueError(f"unknown mode {mode!r}")

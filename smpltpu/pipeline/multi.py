@@ -193,6 +193,22 @@ def main(argv=None) -> int:
         mesh = frames_mesh(mesh_n)
     print(f"[INFO] devices visible: {len(jax.devices())}  mesh size: "
           f"{mesh_n if mesh is not None else 1}")
+    if opts["window_chunk"] > 0:
+        if not opts["batched_windows"]:
+            print("[WARN] --window-chunk only applies with "
+                  "--batched-windows; ignored on the sequential path",
+                  file=sys.stderr)
+        elif mesh is not None:
+            print("[WARN] --window-chunk doesn't apply under --mesh "
+                  "(windows are device-sharded, not chunked); ignored",
+                  file=sys.stderr)
+        elif opts["cg_rtol"] > 0:
+            # the CG tolerance exit is batch-shared under vmap, so chunk
+            # width changes each window's truncation point — results are
+            # chunk-size-dependent there (see build_chunked_window_fit)
+            print("[WARN] --window-chunk with --cg-rtol: per-window optima "
+                  "depend on chunk width (batch-shared CG tolerance exit)",
+                  file=sys.stderr)
 
     # Reference parity: OptimizeMultiFrame receives a null jointShapeReg
     # when betaShape == 0 (MultiFrameBA.h:88), leaving shape inert at zero

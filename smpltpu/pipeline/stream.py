@@ -185,7 +185,7 @@ def main(argv=None) -> int:
         seq = kp[start_at:]
         prev0, has0 = fitter.prev, fitter.has_prev
         timer = StageTimer()
-        xs, solved, _costs, _iters = fitter.replay(seq)
+        xs, solved, _costs, _iters, _conv = fitter.replay(seq)
         first_ms = timer.ms()
         timer = StageTimer()
         out = fitter._scan(jnp.asarray(prev0, fitter.dtype), fitter.shape,

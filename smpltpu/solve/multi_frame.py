@@ -655,6 +655,18 @@ def build_chunked_window_fit(fitter, chunk_size: int):
     trajectory never depends on how many extra iterations its batch ran.
     Pinned by tests/test_multi_frame.py::test_chunked_window_fit_matches_vmap.
 
+    CAVEAT — ``cfg.cg_rtol > 0`` breaks that invariant: the PCG tolerance
+    exit is a while_loop whose condition vmap lifts to "any window above
+    tolerance", so the CG trip count (and therefore each window's
+    truncated step) depends on the batch WIDTH. Unlike the LM loop there
+    is no per-window freeze inside CG — chunked and unchunked solves then
+    follow genuinely different trajectories. Use chunking with the
+    fixed-trip CG (cg_rtol=0, the default) when reproducibility across
+    batch layouts matters; the multi CLI warns on the combination. (In
+    f32 a truncated fixed-trip PCG is still reduction-order sensitive to
+    the batch layout — bit-identity holds in f64, trajectories stay in
+    the same basin in f32.)
+
     The batch is padded to a chunk multiple by replicating the last
     window (well-conditioned by construction); padded outputs are
     stripped. All five per-window arguments are required (pass an

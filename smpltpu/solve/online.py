@@ -152,7 +152,9 @@ def build_online_scan(
     tether gate is unchanged.
 
     Returns jitted ``fn(x0 (P,), shape (nS,), kp_seq (F, K, 4),
-    has_prev0 ()) -> (xs (F, P), costs (F,), iters (F,), solved (F,))``.
+    has_prev0 ()) -> (xs (F, P), costs (F,), iters (F,), solved (F,),
+    conv (F,))`` where ``conv`` is the per-frame LM convergence flag
+    (False for held frames).
     """
     step = build_online_step(spec, cam, cfg, n_joints, gmm=gmm,
                              dtype=dtype, jit=False)
@@ -165,16 +167,17 @@ def build_online_scan(
                 r = step(prev, shape, kp, prev, has_prev)
                 return (r.x, r.cost.astype(dtype),
                         r.iters_run.astype(jnp.int32),
-                        jnp.asarray(True))
+                        jnp.asarray(True), r.converged)
 
             def hold(_):
                 return (prev, jnp.asarray(0.0, dtype),
-                        jnp.asarray(0, jnp.int32), jnp.asarray(False))
+                        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                        jnp.asarray(False))
 
             valid = jnp.sum(kp[:, 3]) > 0.0
-            x, cost, iters, solved = jax.lax.cond(valid, do, hold, None)
+            x, cost, iters, solved, conv = jax.lax.cond(valid, do, hold, None)
             new_has = jnp.where(solved, jnp.asarray(1.0, dtype), has_prev)
-            return (x, new_has), (x, cost, iters, solved)
+            return (x, new_has), (x, cost, iters, solved, conv)
 
         (_, _), out = jax.lax.scan(
             body, (x0.astype(dtype), jnp.asarray(has_prev0, dtype)),
@@ -273,13 +276,14 @@ class OnlineFitter:
         tests/test_online.py), but the frame chain runs inside lax.scan —
         the causal THROUGHPUT path. Advances the fitter state to the end
         of the sequence. Returns (params (F, P), solved (F,) bool,
-        costs (F,), iters (F,)) as numpy; unsolved (empty) frames hold the
-        previous pose in params."""
+        costs (F,), iters (F,), converged (F,) bool) as numpy; unsolved
+        (empty) frames hold the previous pose in params and report
+        converged=False."""
         if self._scan is None:
             self._scan = build_online_scan(
                 self.spec, self.cam, self.cfg, self.model.num_joints,
                 gmm=self._gmm, dtype=self.dtype)
-        xs, costs, iters, solved = self._scan(
+        xs, costs, iters, solved, conv = self._scan(
             jnp.asarray(self.prev, self.dtype), self.shape,
             jnp.asarray(kp_frames, self.dtype),
             jnp.asarray(self.has_prev, self.dtype))
@@ -290,7 +294,8 @@ class OnlineFitter:
             self.prev = xs[-1]
             if solved_np.any():
                 self.has_prev = 1.0
-        return xs_np, solved_np, np.asarray(costs), np.asarray(iters)
+        return (xs_np, solved_np, np.asarray(costs), np.asarray(iters),
+                np.asarray(conv))
 
     def step(self, kp_dense: np.ndarray):
         """Fit one frame. Returns (params (P,) np, LMResult-or-None);

@@ -67,6 +67,16 @@ def test_fit_video_stream(small_model_dict, api_video):
     assert np.mean(res.errors_px) < 25.0
 
 
+def test_fit_video_stream_beta_shape(small_model_dict, api_video):
+    """beta_shape must reach the calibration solve (review fix: it was
+    silently dropped in stream mode): an enormous shape prior keeps the
+    calibrated shape at ~zero."""
+    res = fit_video(small_model_dict, api_video, W, H, mode="stream",
+                    beta_pose=1.0, beta_shape=1e9, lambda_temporal=1.0,
+                    max_iters=30, calib=3, dtype=jnp.float64)
+    assert np.abs(res.shape).max() < 1e-3
+
+
 def test_fit_video_bad_mode(small_model_dict, api_video):
     with pytest.raises(ValueError, match="unknown mode"):
         fit_video(small_model_dict, api_video, W, H, mode="banana")

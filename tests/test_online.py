@@ -226,15 +226,20 @@ def test_scan_replay_matches_stepwise(online_rig):
     kps = _kp_batch_from(gts, jnp.zeros((n, 10)), fit_loop.spec, cam)
     kps[2, :, 1:] = 0.0                      # empty frame mid-stream
 
-    xs_loop = np.stack([fit_loop.step(kps[f])[0] for f in range(n)])
+    loop_out = [fit_loop.step(kps[f]) for f in range(n)]
+    xs_loop = np.stack([p for p, _ in loop_out])
+    conv_loop = [r is not None and bool(r.converged) for _, r in loop_out]
 
     fit_scan = OnlineFitter(model, cam, cfg, dtype=jnp.float64)
-    xs, solved, costs, iters = fit_scan.replay(kps)
+    xs, solved, costs, iters, conv = fit_scan.replay(kps)
 
     np.testing.assert_array_equal(
         solved, [True, True, False, True, True, True])
     np.testing.assert_array_equal(xs[2], xs[1])   # in-graph hold
     assert costs[2] == 0.0 and iters[2] == 0
+    # per-frame LM convergence flags match the stepwise loop (held
+    # frames report False)
+    np.testing.assert_array_equal(conv, conv_loop)
     np.testing.assert_allclose(xs, xs_loop, rtol=1e-9, atol=1e-10)
     # state advanced: a follow-up per-frame step starts warm from frame n-1
     np.testing.assert_array_equal(np.asarray(fit_scan.prev), xs[-1])
