@@ -88,6 +88,21 @@ def resolve_model(spec: str, dtype=None) -> dict:
         if ":" in spec:
             n_verts = int(spec.split(":", 1)[1])
         return make_synthetic_model(n_verts=n_verts)
+    if os.path.isdir(spec):
+        # reference parity: the CLIs take the avatar-model DIRECTORY and
+        # ark::AvatarModel loads model.npz from it (reference README.md
+        # usage `../data/avatar-model/`; pose_prior.txt is picked up from
+        # the same directory by load_dataset)
+        cand = os.path.join(spec, "model.npz")
+        if not os.path.isfile(cand):
+            npzs = sorted(f for f in os.listdir(spec)
+                          if f.endswith(".npz"))
+            if len(npzs) != 1:
+                raise ValueError(
+                    f"model directory {spec} must contain model.npz or "
+                    f"exactly one .npz (found {npzs or 'none'})")
+            cand = os.path.join(spec, npzs[0])
+        spec = cand
     if os.path.isfile(spec):
         if _is_lfs_stub(spec):
             raise ValueError(

@@ -64,9 +64,14 @@ def load_dataset(smpl_path: str, kps_folder: str, img_folder: str,
     height, width = img0.shape[:2]
     cam = default_intrinsics(width, height, dtype=dtype)
 
-    # model spec: a real npz path, a registry name (female/male/neutral),
-    # or synthetic[:n] (smpltpu/models/registry.py)
-    if os.path.isfile(smpl_path):
+    # model spec: a real npz path, the avatar-model directory (reference
+    # argv convention — model.npz + pose_prior.txt inside), a registry
+    # name (female/male/neutral), or synthetic[:n] (models/registry.py)
+    if os.path.isdir(smpl_path):
+        from smpltpu.models.registry import resolve_model
+        model_dict = resolve_model(smpl_path)
+        model_dir = os.path.abspath(smpl_path)
+    elif os.path.isfile(smpl_path):
         from smpltpu.models.registry import _is_lfs_stub
         if _is_lfs_stub(smpl_path):
             # the reference repo ships exactly such stubs in assets/raw/

@@ -123,6 +123,20 @@ def test_single_cli_gmm(tmp_path, rng):
     assert os.path.isfile(os.path.join(out_dir, "log.csv"))
 
 
+def test_model_directory_argv(tmp_path, rng):
+    """Reference argv parity: the model slot accepts the avatar-model
+    DIRECTORY — ark::AvatarModel takes the directory and loads model.npz
+    from it, with pose_prior.txt auto-discovered alongside (reference
+    README usage `../data/avatar-model/`; src/main_single_frame.cpp:183)."""
+    from smpltpu.pipeline.common import load_dataset
+
+    _, kp_dir, img_dir = _make_dataset(tmp_path, rng, with_prior=True)
+    ds = load_dataset(str(tmp_path), kp_dir, img_dir,
+                      midpoint_default_vis=0.0)
+    assert ds["model"].num_joints == 24
+    assert ds["gmm"] is not None  # pose_prior.txt found in the directory
+
+
 def test_multi_cli_end_to_end(tmp_path, rng):
     model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng, empty_frames=())
     out_dir = str(tmp_path / "out_multi")
