@@ -84,6 +84,30 @@ def test_bench_smoke():
     assert rec["value"] > 0
 
 
+def test_bench_mesh_smoke():
+    """bench.py on an 8-virtual-device CPU mesh: the EXACT code path a
+    real v5e-8 takes (auto mesh detection -> sharded stage-1 LM + window
+    DP with dummy padding). The dryrun exercises the library functions on
+    tiny shapes; this drives bench.py's own wiring end-to-end."""
+    env = dict(os.environ, BENCH_FRAMES="60", JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
+                          " --xla_force_host_platform_device_count=8"),
+               JAX_COMPILATION_CACHE_DIR=os.path.join(
+                   os.path.dirname(os.path.abspath(__file__)), ".xla_cache"),
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5")
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "mesh size 8" in proc.stderr, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, proc.stdout
+    rec = json.loads(lines[0])
+    assert rec["value"] > 0
+
+
 @pytest.mark.skipif(not os.path.isdir(VIDEO1_KPS),
                     reason="reference fixture not mounted")
 def test_fit_video_one_command(tmp_path):
