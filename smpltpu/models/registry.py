@@ -72,6 +72,22 @@ def find_model_file(name: str) -> Optional[str]:
     return None
 
 
+def model_npz_in_dir(d: str) -> str:
+    """Pick the model npz inside a model DIRECTORY: model.npz by the
+    avatar-model convention, else the directory's single regular .npz
+    file. Raises ValueError when neither holds."""
+    cand = os.path.join(d, "model.npz")
+    if os.path.isfile(cand):
+        return cand
+    npzs = sorted(f for f in os.listdir(d)
+                  if f.endswith(".npz") and os.path.isfile(os.path.join(d, f)))
+    if len(npzs) != 1:
+        raise ValueError(
+            f"model directory {d} must contain model.npz or exactly one "
+            f".npz (found {npzs or 'none'})")
+    return os.path.join(d, npzs[0])
+
+
 def resolve_model(spec: str, dtype=None) -> dict:
     """Resolve a model spec to a loaded model dict (smpltpu.io layout).
 
@@ -83,26 +99,21 @@ def resolve_model(spec: str, dtype=None) -> dict:
     from smpltpu.models.synthetic import make_synthetic_model
 
     dtype = np.float64 if dtype is None else dtype
-    if spec.startswith("synthetic"):
+    # exact-match magic names only: 'synthetic_avatar/' must mean the
+    # DIRECTORY of that name, not the built-in synthetic model
+    if spec == "synthetic" or spec.startswith("synthetic:"):
         n_verts = 6890
         if ":" in spec:
             n_verts = int(spec.split(":", 1)[1])
         return make_synthetic_model(n_verts=n_verts)
-    if os.path.isdir(spec):
+    if os.path.isdir(spec) and spec not in MODEL_PATTERNS:
         # reference parity: the CLIs take the avatar-model DIRECTORY and
         # ark::AvatarModel loads model.npz from it (reference README.md
         # usage `../data/avatar-model/`; pose_prior.txt is picked up from
-        # the same directory by load_dataset)
-        cand = os.path.join(spec, "model.npz")
-        if not os.path.isfile(cand):
-            npzs = sorted(f for f in os.listdir(spec)
-                          if f.endswith(".npz"))
-            if len(npzs) != 1:
-                raise ValueError(
-                    f"model directory {spec} must contain model.npz or "
-                    f"exactly one .npz (found {npzs or 'none'})")
-            cand = os.path.join(spec, npzs[0])
-        spec = cand
+        # the same directory by load_dataset). A directory named exactly
+        # 'female'/'male'/'neutral' does NOT shadow the registry name —
+        # those keep their pre-existing search-path resolution.
+        spec = model_npz_in_dir(spec)
     if os.path.isfile(spec):
         if _is_lfs_stub(spec):
             raise ValueError(

@@ -67,11 +67,7 @@ def load_dataset(smpl_path: str, kps_folder: str, img_folder: str,
     # model spec: a real npz path, the avatar-model directory (reference
     # argv convention — model.npz + pose_prior.txt inside), a registry
     # name (female/male/neutral), or synthetic[:n] (models/registry.py)
-    if os.path.isdir(smpl_path):
-        from smpltpu.models.registry import resolve_model
-        model_dict = resolve_model(smpl_path)
-        model_dir = os.path.abspath(smpl_path)
-    elif os.path.isfile(smpl_path):
+    if os.path.isfile(smpl_path):
         from smpltpu.models.registry import _is_lfs_stub
         if _is_lfs_stub(smpl_path):
             # the reference repo ships exactly such stubs in assets/raw/
@@ -84,9 +80,17 @@ def load_dataset(smpl_path: str, kps_folder: str, img_folder: str,
         model_dir = os.path.dirname(os.path.abspath(smpl_path))
     else:
         from smpltpu.models.registry import find_model_file, resolve_model
+        # resolve_model's priority: synthetic (exact) > registry name >
+        # model directory; model_dir (for pose_prior.txt discovery) must
+        # mirror whichever source actually won
         model_dict = resolve_model(smpl_path)
         found = find_model_file(smpl_path)
-        model_dir = os.path.dirname(found) if found else None
+        if found is not None:
+            model_dir = os.path.dirname(found)
+        elif os.path.isdir(smpl_path):
+            model_dir = os.path.abspath(smpl_path)
+        else:
+            model_dir = None
     model = SMPLModel.from_dict(model_dict, dtype=dtype)
 
     kp_batch, json_paths = load_keypoint_dir(

@@ -109,3 +109,23 @@ def test_model_registry(tmp_path, monkeypatch):
         resolve_model(str(stub))
     with pytest.raises(ValueError, match="cannot resolve"):
         resolve_model("neutral")
+
+    # directory specs (reference argv convention) — and the priority
+    # rules around them (review fixes): a dir whose name merely STARTS
+    # with 'synthetic' is a directory, not the built-in synthetic model;
+    # a registry name keeps its search-path resolution even when a
+    # same-named local directory exists
+    dav = tmp_path / "synthetic_avatar"
+    dav.mkdir()
+    save_smpl_npz(str(dav / "model.npz"),
+                  make_synthetic_model(n_verts=72, seed=5))
+    assert resolve_model(str(dav))["v_template"].shape == (72, 3)
+    monkeypatch.chdir(tmp_path)
+    assert resolve_model("synthetic_avatar")["v_template"].shape == (72, 3)
+    female_dir = tmp_path / "female"
+    female_dir.mkdir()  # empty decoy dir must not shadow the registry name
+    assert resolve_model("female")["v_template"].shape == (80, 3)
+    empty = tmp_path / "no_model_here"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="must contain model.npz"):
+        resolve_model(str(empty))

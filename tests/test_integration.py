@@ -66,8 +66,13 @@ def test_single_pipeline_on_video1_fixture(tmp_path):
 
 def test_bench_smoke():
     """bench.py must print exactly one valid JSON line on stdout (driver
-    contract), even on the CPU backend with a reduced frame count."""
+    contract) on the SINGLE-device CPU backend with a reduced frame count
+    (conftest's inherited XLA_FLAGS would otherwise make this an 8-device
+    run — the mesh path has its own smoke below)."""
+    flags = " ".join(f for f in os.environ.get("XLA_FLAGS", "").split()
+                     if "xla_force_host_platform_device_count" not in f)
     env = dict(os.environ, BENCH_FRAMES="60", JAX_PLATFORMS="cpu",
+               XLA_FLAGS=flags,
                JAX_COMPILATION_CACHE_DIR=os.path.join(
                    os.path.dirname(os.path.abspath(__file__)), ".xla_cache"),
                JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5")
@@ -77,6 +82,7 @@ def test_bench_smoke():
         timeout=480, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "mesh size 1" in proc.stderr, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.splitlines() if l.strip()]
     assert len(lines) == 1, proc.stdout
     rec = json.loads(lines[0])
