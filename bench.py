@@ -140,6 +140,9 @@ def main():
     # batches pay the slowest window's iteration count across the whole
     # width; chunking bounds that tail (build_chunked_window_fit docstring).
     chunk = int(os.environ.get("BENCH_CHUNK", "0"))
+    if chunk > 0 and mesh is not None:
+        log("bench: WARNING BENCH_CHUNK doesn't apply under a device mesh "
+            "(windows are device-sharded, not chunked); ignored")
     if chunk > 0 and cg_rtol > 0:
         log("bench: WARNING BENCH_CHUNK with BENCH_CG_RTOL>0: the CG "
             "tolerance exit is batch-shared, so optima depend on chunk "
