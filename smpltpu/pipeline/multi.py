@@ -429,6 +429,12 @@ def main(argv=None) -> int:
     if opts["batched_windows"]:
         packs = [window_inputs(s) for s in starts]
         n_real = len(packs)
+        if opts["window_chunk"] == 0 and mesh is None and n_real > 128:
+            # measured: 667 windows unchunked pay the slowest window's
+            # iterations across the whole batch (BASELINE.md 10k rows)
+            print(f"[INFO] {n_real} windows in one vmapped batch; on long "
+                  "videos `--window-chunk 67` (with --cg-rtol 0) bounds "
+                  "the slowest-window tail", file=sys.stderr)
         pad_w = (-n_real) % mesh_n if mesh is not None else 0
         if pad_w:  # dummy windows (all-invalid) to fill the mesh
             dummy = (0, jnp.tile(jnp.asarray(default_pose), (wsize, 1)),
