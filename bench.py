@@ -317,11 +317,13 @@ def main():
             mc, bc = max(mc, m), max(bc, b)
         faces_j = jnp.asarray(np.asarray(model.faces, np.int32))
 
+        edge_mode = os.environ.get("BENCH_RASTER_EDGES", "vpu")
+
         def render_chunk(pchunk):
             vs = chunk_verts(pchunk)
             return jax.vmap(lambda v: rasterize_tiled(
                 v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
-                max_chunks=mc, big_cap=bc)[0])(vs)
+                max_chunks=mc, big_cap=bc, edge_mode=edge_mode)[0])(vs)
 
         rchunk = jax.jit(render_chunk)
         pj = jnp.asarray(frame_params)

@@ -62,6 +62,31 @@ def test_full_mesh_pixel_exact(small_model_dict):
     assert c2.sum() > 500
 
 
+def test_edge_mode_mxu_matches_vpu(small_model_dict):
+    """The legacy MXU edge evaluation (K=3 HIGHEST dot_generals) and the
+    VPU broadcast-FMA default must agree pixel-for-pixel — both compute
+    the same f32 sum A*x + B*y + C."""
+    import jax.numpy as jnp
+
+    from smpltpu.models import SMPLModel, smpl_forward
+
+    model = SMPLModel.from_dict(small_model_dict, dtype=jnp.float32)
+    out = smpl_forward(model, jnp.zeros(10),
+                       jnp.broadcast_to(jnp.eye(3), (24, 3, 3)),
+                       jnp.asarray([0.0, 0.0, 2.5]))
+    verts = np.asarray(out["verts"], np.float32)
+    faces = np.asarray(model.faces, np.int32)
+    mc, bc = pick_cap(verts, faces, FX, FY, CX, CY, H, W)
+    outs = {}
+    for mode in ("vpu", "mxu"):
+        g, c = rasterize_tiled(jnp.asarray(verts), jnp.asarray(faces),
+                               FX, FY, CX, CY, H, W, max_chunks=mc,
+                               big_cap=bc, interpret=True, edge_mode=mode)
+        outs[mode] = (np.asarray(g), np.asarray(c))
+    np.testing.assert_array_equal(outs["vpu"][1], outs["mxu"][1])
+    np.testing.assert_array_equal(outs["vpu"][0], outs["mxu"][0])
+
+
 def test_behind_camera_and_backface_culled():
     verts = np.array([
         [-0.2, -0.2, 2.0], [0.2, -0.2, 2.0], [0.0, 0.3, 2.0],
