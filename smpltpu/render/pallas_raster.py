@@ -36,6 +36,7 @@ to bound recompiles).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -47,7 +48,12 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_H = 8
 TILE_W = 128
 SPAN = 2          # binning enumerates a SPAN x SPAN tile window per face
-CHUNK = 256       # faces processed per kernel step
+# faces processed per kernel step (import-time override for A/Bs).
+# v5e sweep at SMPL density, 270x480 (2026-08-18): 128/256/512/1024/2048
+# -> 164/242/259/223/140 frames/s — 512 is the knee (fewer grid steps
+# amortize per-step scheduling until VMEM blocks and wasted lanes on
+# sparse tiles win), shipped as the default.
+CHUNK = int(os.environ.get("SMPLTPU_RASTER_CHUNK", "512"))
 FACE_BITS = 18    # face id occupies the low bits of the packed sort key
 SENTINEL = 0x7FFFFFFF  # int32 max; plain python int so the kernel closure
                        # does not capture a traced constant
