@@ -45,7 +45,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 8
+# (8, 128) is the f32 VMEM native tile; TILE_H is import-time tunable
+# for A/Bs (must stay a multiple of 8 — sublane granularity)
+TILE_H = int(os.environ.get("SMPLTPU_RASTER_TILE_H", "8"))
 TILE_W = 128
 SPAN = 2          # binning enumerates a SPAN x SPAN tile window per face
 # faces processed per kernel step (import-time override for A/Bs).
