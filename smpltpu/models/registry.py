@@ -39,6 +39,9 @@ MODEL_PATTERNS = {
 _LFS_MAGIC = b"version https://git-lfs"
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 def model_search_dirs() -> list:
     dirs = []
     env = os.environ.get("SMPLTPU_MODEL_DIR")
@@ -46,8 +49,19 @@ def model_search_dirs() -> list:
         dirs.append(env)
     dirs += [os.path.join(os.getcwd(), "assets", "raw"),
              os.path.join(os.getcwd(), "assets"),
+             # the repo's own assets dir, cwd-independent (self-contained
+             # checkout); the read-only reference mount stays as a LAST
+             # fallback (its npz files are LFS stubs and get rejected, but
+             # a user may have materialized real ones there)
+             os.path.join(_REPO_ROOT, "assets", "raw"),
+             os.path.join(_REPO_ROOT, "assets"),
              "/root/reference/assets/raw"]
-    return [d for d in dirs if os.path.isdir(d)]
+    seen, out = set(), []
+    for d in dirs:
+        if d not in seen and os.path.isdir(d):
+            seen.add(d)
+            out.append(d)
+    return out
 
 
 def _is_lfs_stub(path: str) -> bool:

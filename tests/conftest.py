@@ -31,6 +31,17 @@ import pytest  # noqa: E402
 from smpltpu.models.synthetic import make_synthetic_gmm, make_synthetic_model  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def fixture_path(rel: str) -> str:
+    """Resolve a sample-data fixture path: prefer the vendored copy under
+    repo data/ (self-contained checkout), fall back to the read-only
+    reference mount. `rel` is e.g. 'data/keypoints/video1'."""
+    local = os.path.join(REPO_DIR, rel)
+    if os.path.exists(local):
+        return local
+    return os.path.join(REFERENCE_DIR, rel)
 
 
 @pytest.fixture(scope="session")

@@ -13,9 +13,9 @@ from smpltpu.io import save_smpl_npz
 from smpltpu.models.synthetic import make_synthetic_model
 from smpltpu.pipeline import single as single_cli
 from smpltpu.utils.image import imwrite
-from tests.conftest import REFERENCE_DIR
+from tests.conftest import fixture_path
 
-VIDEO1_KPS = os.path.join(REFERENCE_DIR, "data/keypoints/video1")
+VIDEO1_KPS = fixture_path("data/keypoints/video1")
 
 
 @pytest.mark.skipif(not os.path.isdir(VIDEO1_KPS),

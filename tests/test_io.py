@@ -19,7 +19,7 @@ from smpltpu.io import (
     save_smpl_npz,
 )
 from smpltpu.io.keypoints import keypoints_to_dense
-from tests.conftest import REFERENCE_DIR
+from tests.conftest import fixture_path
 
 
 def test_fix_kintree_root_parent():
@@ -61,11 +61,11 @@ def test_gmm_text_roundtrip(tmp_path, gmm_prior):
 
 
 @pytest.mark.skipif(
-    not os.path.isfile(os.path.join(REFERENCE_DIR, "data/avatar-model/pose_prior.txt")),
-    reason="reference fixture not mounted")
+    not os.path.isfile(fixture_path("data/avatar-model/pose_prior.txt")),
+    reason="pose_prior fixture unavailable")
 def test_gmm_reference_fixture():
     prior = load_pose_prior_txt(
-        os.path.join(REFERENCE_DIR, "data/avatar-model/pose_prior.txt"))
+        fixture_path("data/avatar-model/pose_prior.txt"))
     assert prior["means"].shape == (8, 69)
     np.testing.assert_allclose(prior["weights"].sum(), 1.0, atol=1e-6)
 
@@ -137,11 +137,11 @@ def test_keypoints_to_dense_layout(tmp_path):
 
 
 @pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REFERENCE_DIR, "data/keypoints/video1")),
-    reason="reference fixture not mounted")
+    not os.path.isdir(fixture_path("data/keypoints/video1")),
+    reason="video1 fixture unavailable")
 def test_reference_video1_fixture():
     batch, paths = load_keypoint_dir(
-        os.path.join(REFERENCE_DIR, "data/keypoints/video1"), 720, 1280)
+        fixture_path("data/keypoints/video1"), 720, 1280)
     assert batch.shape == (38, N_KP_SLOTS, 4)
     # frames 0000-0030 are empty detections -> fully masked rows
     assert batch[0, :, 3].sum() == 0

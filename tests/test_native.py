@@ -11,7 +11,7 @@ import pytest
 from smpltpu import native
 from smpltpu.io import load_keypoint_dir
 from smpltpu.io.keypoints import keypoints_to_dense, load_mp_json
-from tests.conftest import REFERENCE_DIR
+from tests.conftest import fixture_path
 
 pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="g++ toolchain unavailable")
@@ -50,10 +50,10 @@ def test_parser_matches_python_edge_cases(tmp_path, content):
 
 
 @pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REFERENCE_DIR, "data/keypoints/video1")),
-    reason="reference fixture not mounted")
+    not os.path.isdir(fixture_path("data/keypoints/video1")),
+    reason="video1 fixture unavailable")
 def test_batch_loader_matches_python_on_fixture():
-    d = os.path.join(REFERENCE_DIR, "data/keypoints/video1")
+    d = fixture_path("data/keypoints/video1")
     batch_py, paths = load_keypoint_dir(d, 720, 1280, backend="python")
     batch_nat, paths2 = load_keypoint_dir(d, 720, 1280, backend="native")
     assert paths == paths2

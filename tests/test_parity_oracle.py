@@ -49,12 +49,12 @@ from smpltpu.solve import (
 )
 from smpltpu.utils import default_intrinsics
 from tests import oracle_ref as ORC
-from tests.conftest import REFERENCE_DIR
+from tests.conftest import fixture_path
 
-VIDEO1 = os.path.join(REFERENCE_DIR, "data/keypoints/video1")
-REAL_GMM = os.path.join(REFERENCE_DIR, "data/avatar-model/pose_prior.txt")
+VIDEO1 = fixture_path("data/keypoints/video1")
+REAL_GMM = fixture_path("data/avatar-model/pose_prior.txt")
 needs_fixture = pytest.mark.skipif(not os.path.isdir(VIDEO1),
-                                   reason="reference fixture not mounted")
+                                   reason="video1 fixture unavailable")
 
 # frames of the video1 fixture with detections (0000-0030 are empty)
 FRAMES = [4, 12, 25]
