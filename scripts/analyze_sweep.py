@@ -2,7 +2,10 @@
 """Summarize scripts/bench_sweep*.sh logs into one table.
 
 Usage: python scripts/analyze_sweep.py [log ...]   (default /tmp/bench_sweep.log;
-multiple logs merge into one ranked table — later logs win duplicate tags)
+multiple logs merge into one ranked table. Logs are ordered by file mtime —
+NOT argv order, which for a glob is lexicographic (sweep10 before sweep2) —
+and for duplicate tags the newest successful (rc=0) run wins; a failed run
+never overrides a successful one, and every override is warned on stderr.)
 
 Each sweep section looks like:
     --- <tag> (ENV=...) HH:MM:SS ---
@@ -20,6 +23,7 @@ win.
 """
 
 import json
+import os
 import re
 import sys
 
@@ -58,10 +62,23 @@ def parse(path):
 
 def main(argv):
     paths = argv if argv else ["/tmp/bench_sweep.log"]
+    # chronological merge: argv/glob order is lexicographic (sweep10 sorts
+    # before sweep2), so order logs by mtime; within a log, later sections
+    # are later runs. A failed duplicate never overrides a successful one.
+    paths = sorted(paths, key=lambda p: os.path.getmtime(p) if os.path.exists(p) else 0)
     by_tag = {}
     for path in paths:
         for r in parse(path):
-            by_tag[r["tag"]] = r          # later logs win duplicate tags
+            old = by_tag.get(r["tag"])
+            if old is not None:
+                if old["rc"] == 0 and r["rc"] != 0:
+                    print(f"warning: keeping successful '{r['tag']}' "
+                          f"(env {old['env']}); ignoring later FAILED run "
+                          f"from {path}", file=sys.stderr)
+                    continue
+                print(f"warning: '{r['tag']}' overridden by newer run "
+                      f"from {path}", file=sys.stderr)
+            by_tag[r["tag"]] = r
     runs = list(by_tag.values())
     if not runs:
         print(f"no sweep sections found in {paths}")

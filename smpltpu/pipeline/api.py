@@ -39,6 +39,14 @@ class FitResult(NamedTuple):
     errors_px: np.ndarray   # (F,)
     verts: Optional[np.ndarray]  # (F, nV, 3) if requested
     converged: np.ndarray   # per-frame (single) or scalar (multi)
+    # MODE-DEPENDENT shape/meaning:
+    #   mode="single": (F, max_iters) per-frame per-iteration cost trace
+    #   mode="multi":  (max_iters,)   stage-1 anchor-fit iteration trace
+    #   mode="stream": (F,)           per-frame FINAL costs (the causal
+    #                  solver keeps no per-iteration trace; drive
+    #                  solve.online.OnlineFitter.step() directly for one)
+    # Trailing slots of iteration traces are back-filled with the final
+    # cost after the convergence exit (solve/lm.py contract).
     cost_history: np.ndarray
 
 

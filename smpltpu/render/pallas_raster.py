@@ -48,6 +48,11 @@ from jax.experimental.pallas import tpu as pltpu
 # (8, 128) is the f32 VMEM native tile; TILE_H is import-time tunable
 # for A/Bs (must stay a multiple of 8 — sublane granularity)
 TILE_H = int(os.environ.get("SMPLTPU_RASTER_TILE_H", "8"))
+if TILE_H <= 0 or TILE_H % 8 != 0:
+    raise ValueError(
+        f"SMPLTPU_RASTER_TILE_H must be a positive multiple of 8 (the f32 "
+        f"VMEM sublane granularity), got {TILE_H} — a bad value would only "
+        "surface later as an opaque Mosaic compile error")
 TILE_W = 128
 SPAN = 2          # binning enumerates a SPAN x SPAN tile window per face
 # faces processed per kernel step (import-time override for A/Bs).
@@ -56,6 +61,8 @@ SPAN = 2          # binning enumerates a SPAN x SPAN tile window per face
 # amortize per-step scheduling until VMEM blocks and wasted lanes on
 # sparse tiles win), shipped as the default.
 CHUNK = int(os.environ.get("SMPLTPU_RASTER_CHUNK", "512"))
+if CHUNK <= 0:
+    raise ValueError(f"SMPLTPU_RASTER_CHUNK must be positive, got {CHUNK}")
 FACE_BITS = 18    # face id occupies the low bits of the packed sort key
 SENTINEL = 0x7FFFFFFF  # int32 max; plain python int so the kernel closure
                        # does not capture a traced constant

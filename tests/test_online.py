@@ -268,4 +268,15 @@ def test_stream_cli_scan(tmp_path, rng):
     assert not dat["emitted"][2]
     np.testing.assert_array_equal(dat["params"][2], dat["params"][1])
     opts = stream_cli.parse_args(["m", "k", "i", "o", "--scan"])
-    assert opts["scan"] is True
+    assert opts["scan"] is True and opts["warm_timing"] is False
+
+    # --warm-timing re-runs the compiled scan for compile-excluded time_ms
+    # and must emit IDENTICAL params (deterministic solve)
+    out_dir2 = str(tmp_path / "out_stream_scan_warm")
+    rc = stream_cli.main([model_path, kp_dir, img_dir, out_dir2,
+                          "12", "1.0", "1.0", "--calib", "2", "--scan",
+                          "--warm-timing"])
+    assert rc == 0
+    dat2 = np.load(os.path.join(out_dir2, "params_stream.npz"))
+    np.testing.assert_array_equal(dat2["params"], dat["params"])
+    np.testing.assert_array_equal(dat2["emitted"], dat["emitted"])
