@@ -49,3 +49,22 @@ def test_dryrun_with_no_env():
     res = _run_dryrun({})
     assert res.returncode == 0, res.stderr[-2000:]
     assert "dryrun_multichip OK: 8 devices" in res.stdout
+
+
+def test_entry_is_production_window_solve():
+    """entry() must return the jitted PRODUCTION step (window trust-region
+    fit + skinning), runnable with its example args, finite outputs."""
+    import numpy as np
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    params, cost, verts = fn(*args)
+    assert params.shape == (4, 6, 76)
+    assert cost.shape == (4,)
+    assert verts.shape[0] == 4 and verts.shape[2] == 3
+    assert np.isfinite(np.asarray(params)).all()
+    assert np.isfinite(np.asarray(cost)).all()
+    assert np.isfinite(np.asarray(verts)).all()
+    # the fit must actually move the params off the init
+    assert float(np.abs(np.asarray(params)).max()) > 0.0
