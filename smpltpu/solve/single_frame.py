@@ -143,13 +143,18 @@ def _bounds_and_frozen(prob: SingleFrameProblem, dtype):
     return jnp.asarray(lower, dtype), jnp.asarray(upper, dtype), jnp.asarray(frozen)
 
 
-def build_fitter(prob: SingleFrameProblem, max_iters: int, dtype=jnp.float32):
+def build_fitter(prob: SingleFrameProblem, max_iters: int, dtype=jnp.float32,
+                 lm_cfg: Optional[LMConfig] = None):
     """Return a jitted fn(x0 (F, P[+nS]), kp_dense (F, K, 4)) -> LMState
     that fits all frames at once (vmapped batched LM). The problem's arrays
     are closure-captured as compile-time constants — one compilation per
-    problem definition, reused across calls."""
+    problem definition, reused across calls. lm_cfg overrides the shipped
+    LMConfig (max_iters is still taken from the explicit argument)."""
     lower, upper, frozen = _bounds_and_frozen(prob, dtype)
-    cfg = LMConfig(max_iters=max_iters, huber_delta=HUBER_DELTA)
+    if lm_cfg is None:
+        cfg = LMConfig(max_iters=max_iters, huber_delta=HUBER_DELTA)
+    else:
+        cfg = lm_cfg._replace(max_iters=max_iters)
 
     def solve_one(x0_i, kp_i):
         return lm_solve(lambda x: _residual_fn(x, kp_i, prob),

@@ -165,6 +165,52 @@ def test_gmm_prior_pulls_toward_mode(small_model_dict, gmm_prior):
     assert bool(state.converged[0])
 
 
+def test_tr_solver_chol_matches_eigh(rig, rng):
+    """The Cholesky-Newton More-Sorensen subproblem solver
+    (LMConfig.tr_solver='chol') is an exact-step implementation like the
+    eigh reference — from the reference's blind cold init both must land
+    at (to tolerance) the same optimum with the same accuracy. dogleg is
+    inexact; assert only that it solves the problem sanely."""
+    from smpltpu.solve import build_fitter
+    from smpltpu.solve.lm import LMConfig
+
+    model, cam, prob = rig
+    f = 3
+    gts = [make_gt_params(rng) for _ in range(f)]
+    kps = jnp.asarray(np.stack([
+        project_gt_keypoints(g, jnp.zeros(10), prob.spec, cam)
+        for g in gts]))
+    x0 = jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1))
+
+    states = {}
+    for tr in ("eigh", "chol", "dogleg"):
+        cfg = LMConfig(max_iters=120, huber_delta=3.0, tr_solver=tr)
+        st = build_fitter(prob, 120, dtype=jnp.float64, lm_cfg=cfg)(x0, kps)
+        states[tr] = st
+        assert bool(jnp.all(jnp.isfinite(st.x))), tr
+
+    ce = np.asarray(states["eigh"].cost)
+    cc = np.asarray(states["chol"].cost)
+    np.testing.assert_allclose(cc, ce, rtol=1e-4, atol=1e-10)
+    # both exact solvers must fit the synthetic keypoints to sub-pixel
+    for tr in ("eigh", "chol"):
+        for i in range(f):
+            joints_fit = skeleton_joints_cam(
+                states[tr].x[i], jnp.zeros(10), prob.spec)
+            uv_fit = np.asarray(project(joints_fit, cam))
+            err = np.linalg.norm(
+                uv_fit[USE_SMPL] - np.asarray(kps)[i, :, 1:3], axis=-1).mean()
+            assert err < 0.5, f"{tr} frame {i}: {err}"
+    # dogleg (inexact boundary step, A/B option only) may land in a worse
+    # basin — assert only sane behavior: finite (above) and a strict
+    # decrease from the cold-init cost on every frame. (The session-scoped
+    # rng makes the draws order-dependent, so a tightness bound vs the
+    # exact solvers would be flaky.)
+    dh = np.asarray(states["dogleg"].cost_history)
+    dc = np.asarray(states["dogleg"].cost)
+    assert np.all(dc < dh[:, 0]), (dc, dh[:, 0])
+
+
 def test_mean_pixel_error_metric(rig, rng):
     model, cam, prob = rig
     from smpltpu.models import smpl_forward
