@@ -48,15 +48,57 @@ from smpltpu.solve.multi_frame import (
 # path 1: DP over windows
 # ---------------------------------------------------------------------
 def sharded_window_fit(mesh: Mesh, fitter, params0, shape0, kp, r0,
-                       frame_valid, axis: str = "frames"):
+                       frame_valid, axis: str = "frames", chunk: int = 0):
     """vmap the single-chip window fitter and shard the window axis over
     the mesh. `fitter` is a build_multi_fitter result; inputs carry a
-    leading window axis divisible by the mesh size."""
+    leading window axis divisible by the mesh size.
+
+    chunk > 0 composes the chunked-dispatch tail fix
+    (solve/multi_frame.build_chunked_window_fit) with the mesh: inside a
+    shard_map each device lax.maps its LOCAL window slice in chunk-sized
+    vmapped batches, so every chunk's convergence-exit while_loop
+    terminates independently PER DEVICE. Without it, the vmapped
+    while_loop's condition reduces over the GLOBAL sharded batch — every
+    device spins (and the cond's all-reduce rides ICI every iteration)
+    until the globally slowest window converges; on long videos that tail
+    cost 945 vs 1617 frames/s on one chip (docs/ROADMAP.md 10k-frame
+    entry). Per-window optima are unchanged (converged windows freeze;
+    chunked == vmapped pinned bit-tight in f64 by
+    tests/test_parallel.py::test_sharded_window_fit_chunked). The local
+    window count (n_win / mesh) must not be smaller than chunk — chunks
+    pad locally by replicating the last local window."""
     spec_in = NamedSharding(mesh, P(axis))
     args = [jax.device_put(a, spec_in)
             for a in (params0, shape0, kp, r0, frame_valid)]
-    batched = jax.jit(jax.vmap(lambda a, b, c, d, e: fitter(a, b, c, d, e)))
-    return batched(*args)
+    if chunk <= 0:
+        batched = jax.jit(jax.vmap(
+            lambda a, b, c, d, e: fitter(a, b, c, d, e)))
+        return batched(*args)
+
+    vfit = jax.vmap(lambda a, b, c, d, e: fitter(a, b, c, d, e))
+
+    def local_chunked(*local_args):
+        n = local_args[0].shape[0]
+        pad = (-n) % chunk
+        la = local_args
+        if pad:
+            la = tuple(
+                jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+                for x in la)
+        la = tuple(x.reshape((-1, chunk) + x.shape[1:]) for x in la)
+        out = jax.lax.map(lambda xs: vfit(*xs), la)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
+
+    # check_vma=False: the fitter's while_loop carries start as replicated
+    # scalars (converged=False etc.) and become device-varying after one
+    # body step — a type error under vma tracking, semantically fine for
+    # this collective-free per-device map (same setting as the sharded LM
+    # shard_maps below)
+    spmd = shard_map(local_chunked, mesh=mesh,
+                     in_specs=(P(axis),) * 5, out_specs=P(axis),
+                     check_vma=False)
+    return jax.jit(spmd)(*args)
 
 
 def sharded_frame_fit(mesh: Mesh, fitter, x0, kp, axis: str = "frames"):

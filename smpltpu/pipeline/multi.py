@@ -31,7 +31,9 @@ the 'full-video batched fitting' config of BASELINE.json) instead of
 sequentially; sequential is the default for init-chaining parity.
 --window-chunk N splits the batch into N-window chunks with independent
 convergence exits (bounds the slowest-window tail on long videos; see
-solve/multi_frame.build_chunked_window_fit).
+solve/multi_frame.build_chunked_window_fit). Composes with --mesh: each
+device then lax.maps its local window slice in N-window chunks
+(parallel/sharded.sharded_window_fit chunk=N).
 """
 
 from __future__ import annotations
@@ -197,10 +199,6 @@ def main(argv=None) -> int:
         if not opts["batched_windows"]:
             print("[WARN] --window-chunk only applies with "
                   "--batched-windows; ignored on the sequential path",
-                  file=sys.stderr)
-        elif mesh is not None:
-            print("[WARN] --window-chunk doesn't apply under --mesh "
-                  "(windows are device-sharded, not chunked); ignored",
                   file=sys.stderr)
         elif opts["cg_rtol"] > 0:
             # the CG tolerance exit is batch-shared under vmap, so chunk
@@ -451,9 +449,13 @@ def main(argv=None) -> int:
         with profile_trace(profile_dir):
             if mesh is not None:
                 # DP over the window axis across the mesh (each device
-                # solves its slice with the single-chip fitter)
+                # solves its slice with the single-chip fitter);
+                # --window-chunk composes: per-device lax.map chunks with
+                # local convergence exits (bounds the slowest-window tail
+                # on long videos without global-batch synchronization)
                 from smpltpu.parallel import sharded_window_fit
-                st2 = sharded_window_fit(mesh, fit2, bp, bw, bk, br, bv)
+                st2 = sharded_window_fit(mesh, fit2, bp, bw, bk, br, bv,
+                                         chunk=opts["window_chunk"])
             elif opts["window_chunk"] > 0:
                 from smpltpu.solve import build_chunked_window_fit
                 st2 = build_chunked_window_fit(

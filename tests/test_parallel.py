@@ -130,6 +130,37 @@ def test_sharded_window_fit_matches_single(par_rig, rng):
                                np.asarray(ref.params), rtol=1e-3, atol=1e-3)
 
 
+def test_sharded_window_fit_chunked(par_rig, rng):
+    """chunk>0 composes the per-chunk convergence exit with the mesh:
+    each device lax.maps its local window slice. In f64 the per-window
+    results are bit-tight against the unchunked sharded path (converged
+    windows freeze, so extra batch iterations never move them) — the same
+    invariant build_chunked_window_fit pins on one chip. Also exercises
+    local padding (3 local windows, chunk 2)."""
+    model, cam, spec = par_rig
+    n_dev, wlen = 2, 3
+    n_win = 6           # 3 local windows per device, chunk 2 -> local pad
+    cfg = MultiFrameConfig(beta_pose=2.0, beta_shape=1e5, lambda_temporal=1.0,
+                           max_iters=15)
+    fitter = build_multi_fitter(spec, cam, cfg, 10, dtype=jnp.float64)
+    kp = np.stack([_kp_batch(rng, wlen) for _ in range(n_win)])
+    p0 = jnp.tile(init_frame_params(dtype=jnp.float64), (n_win, wlen, 1))
+    w0 = jnp.zeros((n_win, 10), jnp.float64)
+    r0 = jnp.tile(jnp.asarray(init_root_rotation()), (n_win, wlen, 1, 1))
+    valid = jnp.ones((n_win, wlen), jnp.float64)
+
+    mesh = frames_mesh(n_dev, axis="windows")
+    st_plain = sharded_window_fit(mesh, fitter, p0, w0, jnp.asarray(kp), r0,
+                                  valid, axis="windows")
+    st_chunk = sharded_window_fit(mesh, fitter, p0, w0, jnp.asarray(kp), r0,
+                                  valid, axis="windows", chunk=2)
+    np.testing.assert_allclose(np.asarray(st_chunk.cost),
+                               np.asarray(st_plain.cost), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_chunk.params),
+                               np.asarray(st_plain.params),
+                               rtol=1e-9, atol=1e-12)
+
+
 def test_sharded_frame_fit_matches_unsharded(par_rig, rng):
     """DP over the single-frame batch (the single CLI's --mesh path): the
     8-device mesh must reach the same per-frame optima as the unsharded
@@ -259,8 +290,12 @@ def test_sharded_lm_frame_valid_padding(par_rig, rng):
 
 
 def test_graft_entry_and_dryrun():
+    # entry()'s round-3 contract: (params (4,6,76), cost (4,), verts) —
+    # the production window solve + skinning (full pin with finiteness
+    # checks: tests/test_graft_entry.py::test_entry_is_production_window_solve)
     import __graft_entry__ as g
     fn, args = g.entry()
     out = fn(*args)
-    assert out[0].shape[-2:] == (24, 3)
+    assert out[0].shape == (4, 6, 76)
+    assert out[2].shape[-1] == 3
     g.dryrun_multichip(8)
