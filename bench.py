@@ -42,9 +42,33 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache next to the repo (same directory the
+    graft entry uses): the stage-1/stage-2 programs cost ~30 s to compile
+    cold through the axon tunnel, which makes config sweeps pay a flat
+    compile tax per process. Warm processes reuse the cached executables;
+    the TIMED quantities are all post-compile re-runs, so the cache never
+    touches the measurement. BENCH_COMPILE_CACHE=0 disables."""
+    if os.environ.get("BENCH_COMPILE_CACHE", "1") != "1":
+        return
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".xla_cache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization, never a failure
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from smpltpu.constants import N_KP_SLOTS, USE_SMPL, init_root_rotation
     from smpltpu.energy import make_skeleton_spec, skeleton_joints_cam
@@ -141,8 +165,10 @@ def main():
     # width; chunking bounds that tail (build_chunked_window_fit docstring).
     chunk = int(os.environ.get("BENCH_CHUNK", "0"))
     if chunk > 0 and mesh is not None:
-        log("bench: WARNING BENCH_CHUNK doesn't apply under a device mesh "
-            "(windows are device-sharded, not chunked); ignored")
+        log(f"bench: BENCH_CHUNK={chunk} under a {n_dev}-device mesh: "
+            "per-device chunked dispatch (each device lax.maps its local "
+            "window slice in chunk-sized batches with local convergence "
+            "exits)")
     if chunk > 0 and cg_rtol > 0:
         log("bench: WARNING BENCH_CHUNK with BENCH_CG_RTOL>0: the CG "
             "tolerance exit is batch-shared, so optima depend on chunk "
@@ -218,7 +244,7 @@ def main():
 
     if mesh is not None:
         def bfit(a, b, c, d, e):
-            return sharded_window_fit(mesh, fit, a, b, c, d, e)
+            return sharded_window_fit(mesh, fit, a, b, c, d, e, chunk=chunk)
     elif chunk > 0:
         from smpltpu.solve import build_chunked_window_fit
         bfit = build_chunked_window_fit(fit, chunk)
@@ -227,7 +253,7 @@ def main():
 
     log(f"bench: {n_win} windows (+{pad_w} pad) x {WSIZE} frames x "
         f"{S2_ITERS} LM iters on {n_dev if mesh else 1} device(s)"
-        + (f", chunked x{chunk}" if chunk > 0 and mesh is None else "")
+        + (f", chunked x{chunk}" if chunk > 0 else "")
         + "; compiling...")
     t0 = time.perf_counter()
     st = bfit(p0, w0, kpj, r0, vj)
@@ -245,6 +271,30 @@ def main():
     log(f"bench: stage-1 {dt1 * 1e3:.0f} ms + stage-2 {min(times) * 1e3:.0f} ms "
         f"-> {fps:.0f} frames/s end-to-end; stage-2 runs: "
         f"{[f'{t * 1e3:.0f}ms' for t in times]}")
+
+    try:  # peak device memory (the 100k-frame scaling row needs it)
+        ms = jax.local_devices()[0].memory_stats()
+        if ms and "peak_bytes_in_use" in ms:
+            log(f"bench: device memory peak "
+                f"{ms['peak_bytes_in_use'] / 2**30:.2f} GiB "
+                f"(in use {ms['bytes_in_use'] / 2**30:.2f} GiB)")
+    except Exception:
+        pass
+
+    # analytic roofline / MFU accounting (utils/roofline.py): where each
+    # stage sits vs the v5e MXU-f32 and HBM peaks, and what actually binds
+    # it. LM iteration counts are the MEASURED iters_run of the
+    # convergence-exit loops, not max_iters.
+    from smpltpu.utils.roofline import report, stage_solver
+    p_dim = int(p0.shape[-1])
+    kp_rows = 2 * N_KP_SLOTS
+    it1 = float(np.mean(np.asarray(st1.iters_run)))
+    it2 = float(np.mean(np.asarray(st.iters_run).reshape(-1)[:n_win]))
+    log("bench: " + report(stage_solver(
+        "stage1", 1, n_a, p_dim, 10, kp_rows, it1, cg_iters, linear), dt1))
+    log("bench: " + report(stage_solver(
+        "stage2", n_win, WSIZE, p_dim, 10, kp_rows, it2, cg_iters, linear),
+        min(times)))
 
     # sanity: the fit must actually have converged to a sensible error
     errs = []
@@ -286,7 +336,11 @@ def main():
             frame_params[s:s + take] = pa[i, :take]
         shp = jnp.asarray(np.asarray(st.shape)[0])
 
-        s_r = 0.375
+        # BENCH_RENDER_SCALE=1.0 renders at the video1 source resolution
+        # 720x1280 (the reference renders at source res,
+        # RenderSMPLMesh.h:40-47); the 0.375 default is the historical
+        # ~130k-px raster row (270x480)
+        s_r = float(os.environ.get("BENCH_RENDER_SCALE", "0.375"))
         w_r, h_r = int(720 * s_r), int(1280 * s_r)
         fxr, fyr, cxr, cyr = (float(c) * s_r for c in cam)
         r0j = jnp.asarray(r0c)
@@ -345,6 +399,15 @@ def main():
         log(f"bench: render {N_FRAMES} frames at {w_r}x{h_r} in "
             f"{dtr * 1e3:.0f} ms ({N_FRAMES / dtr:.0f} frames/s raster) -> "
             f"solve+render end-to-end {fps_r:.0f} frames/s")
+        from smpltpu.render.pallas_raster import CHUNK, TILE_H, TILE_W
+        from smpltpu.utils.roofline import stage_lbs, stage_raster
+        n_tiles = (-(-h_r // TILE_H)) * (-(-w_r // TILE_W))
+        log("bench: " + report(
+            stage_lbs("lbs", N_FRAMES, int(model.num_verts)), dtr))
+        log("bench: " + report(stage_raster(
+            "raster", N_FRAMES, int(model.faces.shape[0]), n_tiles, mc,
+            CHUNK, TILE_H * TILE_W), dtr,
+            dispatches=-(-N_FRAMES // CH)))
 
     if os.environ.get("BENCH_STREAM", "0") == "1":
         # Serving-latency variant (stderr only; JSON contract unchanged):
@@ -405,6 +468,85 @@ def main():
         log(f"bench: stream-scan {n_sc} frames in {dts * 1e3:.0f} ms -> "
             f"{dts * 1e3 / n_sc:.2f} ms/frame amortized, "
             f"{n_sc / dts:.0f} frames/s causal")
+
+    if os.environ.get("BENCH_SINGLE", "0") == "1":
+        # Single-frame batched fit (VERDICT round-2 weak #1): the
+        # 3dba_single path under the SHIPPED solver defaults — exact
+        # More-Sorensen trust region (solve/lm.LMConfig.exact_tr), CLI
+        # defaults max_iters=100, beta_pose=20, beta_shape=30
+        # (pipeline/single.py; reference src/main_single_frame.cpp:192-246
+        # solves the same per-frame problem serially with Ceres). stderr
+        # only; the headline JSON contract is unchanged. Sub-variants:
+        #   BENCH_SINGLE_FRAMES=N   batch width (default 128, round-1 row)
+        #   BENCH_SINGLE_GMM=1      --use-gmm (vendored pose_prior.txt)
+        #   BENCH_SINGLE_MULTISTART=1  --multi-start (data-driven init x
+        #                              5 yaw/reference starts per frame)
+        #   BENCH_SINGLE_TR=eigh|cholesky|dogleg  LMConfig.tr_solver A/B
+        from smpltpu.solve import build_fitter, make_single_frame_problem
+        from smpltpu.solve.lm import LMConfig
+
+        n_s = min(N_FRAMES, int(os.environ.get("BENCH_SINGLE_FRAMES", "128")))
+        gmm_d = None
+        if os.environ.get("BENCH_SINGLE_GMM", "0") == "1":
+            from smpltpu.io.gmm import load_pose_prior_txt
+            prior_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "data", "avatar-model", "pose_prior.txt")
+            gmm_d = load_pose_prior_txt(prior_path)
+        prob_s = make_single_frame_problem(
+            model, r0c, cam, beta_pose=20.0, beta_shape=30.0,
+            gmm_dict=gmm_d)
+        kp_s = kp[:n_s]
+        if os.environ.get("BENCH_SINGLE_MULTISTART", "0") == "1":
+            from smpltpu.solve import make_start_set
+            starts = make_start_set(kp_s, prob_s.spec, cam)
+            s_dim = starts.shape[1]
+            x0_s = jnp.asarray(starts.reshape(n_s * s_dim, -1), jnp.float32)
+            kp_fit = jnp.asarray(np.repeat(kp_s, s_dim, axis=0))
+        else:
+            s_dim = 1
+            x0_s = jnp.tile(init_frame_params(), (n_s, 1))
+            kp_fit = jnp.asarray(kp_s)
+        tr = os.environ.get("BENCH_SINGLE_TR", "")
+        lmcfg = None
+        if tr:
+            lmcfg = LMConfig(max_iters=100, huber_delta=3.0, tr_solver=tr)
+        fitter_s = build_fitter(prob_s, max_iters=100, lm_cfg=lmcfg)
+        t0 = time.perf_counter()
+        fitter_s(x0_s, kp_fit).x.block_until_ready()
+        log(f"bench: single-frame compile+first {time.perf_counter() - t0:.1f}s"
+            f" ({n_s} frames x {s_dim} starts x 100 iters, "
+            f"gmm={'on' if gmm_d is not None else 'off'}, "
+            f"tr={tr or 'default'})")
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st_s = fitter_s(x0_s, kp_fit)
+            st_s.x.block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        fps_s = n_s / min(ts)
+        # residual on the selected (lowest-cost) start per frame
+        xs = np.asarray(st_s.x).reshape(n_s, s_dim, -1)
+        cs = np.asarray(st_s.cost).reshape(n_s, s_dim)
+        xb = jnp.asarray(xs[np.arange(n_s), np.argmin(cs, axis=1)])
+        uv_s = np.asarray(jax.jit(jax.vmap(
+            lambda p: project(skeleton_joints_cam(
+                p, jnp.zeros(10, jnp.float32), prob_s.spec), cam)))(xb))
+        px_s = float(np.linalg.norm(
+            uv_s[:, USE_SMPL] - kp_s[:, :, 1:3], axis=-1).mean())
+        log(f"bench: single-frame {n_s} frames in {min(ts) * 1e3:.0f} ms -> "
+            f"{fps_s:.0f} frames/s, residual {px_s:.2f}px; runs: "
+            f"{[f'{t * 1e3:.0f}ms' for t in ts]}")
+        from smpltpu.utils.roofline import stage_single_frame
+        it_s = float(np.mean(np.asarray(st_s.iters_run)))
+        log("bench: " + report(stage_single_frame(
+            "single", n_s * s_dim, int(x0_s.shape[-1]), kp_rows, it_s,
+            tr_solver=tr or "eigh"), min(ts)))
+        log(json.dumps({
+            "metric": "single_frame_throughput_frames_per_sec",
+            "value": round(fps_s, 1), "unit": "frames/sec",
+            "residual_px": round(px_s, 2), "starts": s_dim,
+            "gmm": gmm_d is not None, "tr": tr or "default"}))
 
     print(json.dumps({
         "metric": "solver_throughput_frames_per_sec_1000frame_video",
