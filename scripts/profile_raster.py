@@ -1,0 +1,121 @@
+"""Phase-split rasterizer profile on the real TPU.
+
+Times, per resolution, the three components of the render-everything
+path so the speed work targets the true bottleneck (VERDICT round-2
+weak #2 asks for a 720x1280 number AND a faster renderer):
+
+  lbs     — fused skinning forward alone (chunk_verts)
+  phase1  — per-face setup + sort-based binning alone (_face_setup +
+            _bin_faces under one jit, everything before the kernel)
+  full    — complete rasterize_tiled (phase1 + Pallas kernel)
+
+Usage (TPU):
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_raster.py
+Env: RP_SCALES="0.375 1.0"  RP_FRAMES=100
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from smpltpu.constants import init_root_rotation
+    from smpltpu.models import SMPLModel, make_synthetic_model
+    from smpltpu.ops.lbs import joint_affines, lbs_pallas, prepare_lbs_operands
+    from smpltpu.pipeline.common import params_to_pose
+    from smpltpu.render import pallas_raster as pr
+    from smpltpu.utils import default_intrinsics
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    model = SMPLModel.from_dict(make_synthetic_model(), dtype=jnp.float32)
+    cam = default_intrinsics(720, 1280)
+    r0j = jnp.asarray(np.asarray(init_root_rotation(), np.float32))
+    rng = np.random.default_rng(0)
+
+    ch = int(os.environ.get("RP_FRAMES", "100"))
+    params = np.zeros((ch, 76), np.float32)
+    params[:, 0] = 1.0
+    params[:, 4:7] = (0.1, -0.1, 3.2)
+    params[:, 7:] = 0.15 * rng.normal(size=(ch, 69)).astype(np.float32)
+    pj = jnp.asarray(params)
+
+    ops_lbs = prepare_lbs_operands(model)
+    n_v = model.num_verts
+    shp = jnp.zeros(10, jnp.float32)
+    shp_tile = jnp.tile(shp[None], (ch, 1))
+
+    def one_affine(p):
+        pose = params_to_pose(p, r0j, model.num_joints)
+        return joint_affines(model, shp, pose.rotations, pose.root_pos)[0]
+
+    def chunk_verts(pchunk):
+        g_aff = jax.vmap(one_affine)(pchunk)
+        verts = lbs_pallas(shp_tile, g_aff, ops_lbs)
+        return jnp.transpose(verts[:, :, :n_v], (0, 2, 1))
+
+    jverts = jax.jit(chunk_verts)
+    vfirst = np.asarray(jverts(pj))
+    faces_j = jnp.asarray(np.asarray(model.faces, np.int32))
+
+    def bench(fn, *args, reps=5):
+        jax.block_until_ready(fn(*args))   # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_lbs = bench(jverts, pj)
+    print(f"lbs: {t_lbs * 1e3 / ch:.3f} ms/frame ({ch / t_lbs:.0f} fps)")
+
+    for s_r in [float(x) for x in
+                os.environ.get("RP_SCALES", "0.375 1.0").split()]:
+        w_r, h_r = int(720 * s_r), int(1280 * s_r)
+        fxr, fyr, cxr, cyr = (float(c) * s_r for c in cam)
+        mc, bc = 1, 64
+        for k in range(0, ch, 25):
+            m, b = pr.pick_cap(vfirst[k], np.asarray(model.faces),
+                               fxr, fyr, cxr, cyr, h_r, w_r)
+            mc, bc = max(mc, m), max(bc, b)
+        n_ty = -(-h_r // pr.TILE_H)
+        n_tx = -(-w_r // pr.TILE_W)
+        print(f"--- {w_r}x{h_r}: tiles {n_ty}x{n_tx}={n_ty * n_tx}, "
+              f"max_chunks {mc}, big_cap {bc}, CHUNK {pr.CHUNK}, "
+              f"TILE_H {pr.TILE_H}")
+
+        @jax.jit
+        def phase1(vs):
+            def one(v):
+                u, vv, key, keep = pr._face_setup(v, faces_j, fxr, fyr,
+                                                  cxr, cyr)
+                sf, first, gbin, big_n = pr._bin_faces(
+                    u, vv, keep, n_ty, n_tx, bc)
+                return sf.sum() + first.sum() + gbin.sum() + big_n
+            return jax.vmap(one)(vs)
+
+        @jax.jit
+        def full(vs):
+            return jax.vmap(lambda v: pr.rasterize_tiled(
+                v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
+                max_chunks=mc, big_cap=bc)[0])(vs)
+
+        vj = jnp.asarray(vfirst)
+        t1 = bench(phase1, vj)
+        tf = bench(full, vj)
+        print(f"phase1 (setup+bin): {t1 * 1e3 / ch:.3f} ms/frame "
+              f"({ch / t1:.0f} fps)")
+        print(f"full raster:        {tf * 1e3 / ch:.3f} ms/frame "
+              f"({ch / tf:.0f} fps)  -> kernel ~"
+              f"{(tf - t1) * 1e3 / ch:.3f} ms/frame")
+
+
+if __name__ == "__main__":
+    main()
