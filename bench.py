@@ -508,9 +508,12 @@ def main():
             x0_s = jnp.tile(init_frame_params(), (n_s, 1))
             kp_fit = jnp.asarray(kp_s)
         tr = os.environ.get("BENCH_SINGLE_TR", "")
+        tr_it = int(os.environ.get("BENCH_SINGLE_TR_ITERS", "0"))
         lmcfg = None
-        if tr:
-            lmcfg = LMConfig(max_iters=100, huber_delta=3.0, tr_solver=tr)
+        if tr or tr_it:
+            lmcfg = LMConfig(
+                max_iters=100, huber_delta=3.0, tr_solver=tr or "eigh",
+                **({"tr_newton_iters": tr_it} if tr_it else {}))
         fitter_s = build_fitter(prob_s, max_iters=100, lm_cfg=lmcfg)
         t0 = time.perf_counter()
         fitter_s(x0_s, kp_fit).x.block_until_ready()

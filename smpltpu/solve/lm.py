@@ -57,8 +57,9 @@ class LMConfig(NamedTuple):
     xtol: float = 1e-8                # ceres parameter_tolerance
     diag_min: float = 1e-6            # ceres min_lm_diagonal
     diag_max: float = 1e32            # ceres max_lm_diagonal
-    # exact trust-region subproblem (More-Sorensen via eigh) instead of
-    # ceres-style lambda=1/radius damping. Round-2 finding: on cold-init
+    # exact trust-region subproblem (More-Sorensen; tr_solver picks the
+    # implementation) instead of ceres-style lambda=1/radius damping.
+    # Round-2 finding: on cold-init
     # real-keypoint fits the damped step chronically under-uses the trust
     # region (accepted steps with rho~0.5 keep the radius constant while
     # |step| << radius) and the solve crawls for 1000+ iterations into
@@ -74,16 +75,27 @@ class LMConfig(NamedTuple):
     #   "chol"   — More-Sorensen via Cholesky-Newton on the secular
     #              equation (Nocedal-Wright alg 4.3 adapted to the PSD
     #              Gauss-Newton Hessian: lambda* in [floor, |g|/radius],
-    #              reciprocal-Newton with bisection safeguard, fixed 6
-    #              factorizations). Same step to ~1e-6 |d| as "eigh";
-    #              TPU-fast because batched 76x76 cholesky+triangular
-    #              solves beat the Jacobi eigensolver by an order of
-    #              magnitude.
+    #              reciprocal-Newton with bisection safeguard; at most
+    #              tr_newton_iters factorizations, ONE when the GN step
+    #              is interior — the while_loop exits early). Same step
+    #              to ~1e-6 |d| as "eigh"; TPU-fast because batched
+    #              76x76 cholesky+triangular solves beat the Jacobi
+    #              eigensolver by an order of magnitude.
     #   "dogleg" — single-factorization Powell dogleg (the multi-frame
     #              solver's strategy, solve/multi_frame.py): INEXACT on
     #              the boundary; offered for A/B only.
-    tr_solver: str = "eigh"
-    tr_newton_iters: int = 6          # chol secular Newton trips
+    # Defaults from the 2026-08-19 TPU sweep (docs/measurements/
+    # bench_sweep_single_r3_20260819.log, 128 frames x 100 iters):
+    # eigh 85 fps / chol cap-4 588 / cap-3 306 / cap-5 435 / cap-6 342 /
+    # cap-8 308, all at the same 2.7 px residual — cap 3 trades boundary
+    # accuracy for extra LM iterations and loses, caps >4 pay
+    # factorizations the step quality doesn't need. The chol==eigh optima
+    # test and the parity-oracle certificates gate the exactness.
+    tr_solver: str = "chol"
+    tr_newton_iters: int = 4          # chol secular Newton trip cap
+                                      # (= max cholesky factorizations
+                                      # per LM iteration; trip 0 is the
+                                      # interior probe)
 
 
 class LMState(NamedTuple):
@@ -224,28 +236,49 @@ def lm_solve(
         pin the boundary solution; a bisection bracket [floor, |g|/r]
         safeguards overshoot. H = J^T J is PSD, so no hard case with
         negative curvature exists; the floor shift keeps the f32
-        factorization PD against roundoff indefiniteness."""
+        factorization PD against roundoff indefiniteness.
+
+        Cost structure (the TPU reason this path exists): each trip is
+        exactly ONE batched 76x76 cholesky + solves — the only expensive
+        ops here. Trip 0 runs at the floor shift, so it doubles as the
+        interior/Gauss-Newton probe, and the loop is a while_loop that
+        exits the moment the GN step fits inside the radius: interior
+        iterations (all of the LM endgame) pay ONE factorization, only
+        genuine boundary steps pay up to tr_newton_iters. The returned
+        boundary step is the last solved iterate p(lam_k) rather than a
+        re-solve at the post-update lam — Newton converges monotonically
+        from the infeasible side, so after the default 6 trips |p| is
+        within ~1e-6 relative of the radius (same class of approximation
+        as the old final-re-solve form, one factorization cheaper; the
+        chol==eigh optima test pins the end-to-end equivalence). Under
+        vmap the while-cond lifts to "any problem still on the boundary
+        path", so a batch's cost tracks its hardest member, not the
+        worst case."""
         from jax.scipy.linalg import cho_solve, solve_triangular
 
         eye = jnp.eye(h.shape[-1], dtype=h.dtype)
         diag_max = jnp.maximum(jnp.max(jnp.diagonal(h)), 1.0)
         eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
         lam_floor = 30.0 * eps * diag_max
+        hi0 = jnp.linalg.norm(g) / jnp.maximum(radius, 1e-30) + lam_floor
 
         def solve_at(lam):
             ell = jnp.linalg.cholesky(h + lam * eye)
             return ell, cho_solve((ell, True), -g)
 
-        _, p0 = solve_at(lam_floor)
-        interior = jnp.linalg.norm(p0) <= radius
-        hi0 = jnp.linalg.norm(g) / jnp.maximum(radius, 1e-30) + lam_floor
+        def cond(carry):
+            i, _, _, _, _, interior = carry
+            return (i < cfg.tr_newton_iters) & jnp.logical_not(interior)
 
-        def trip(_, carry):
-            lam, lo, hi = carry
+        def trip(carry):
+            i, lam, lo, hi, _, interior = carry
             ell, p = solve_at(lam)
             pnorm = jnp.linalg.norm(p)
-            lo = jnp.where(pnorm > radius, lam, lo)
-            hi = jnp.where(pnorm <= radius, lam, hi)
+            feas = pnorm <= radius
+            # feasible at the floor shift == the GN step is interior
+            interior = interior | ((i == 0) & feas)
+            lo = jnp.where(feas, lo, lam)
+            hi = jnp.where(feas, lam, hi)
             q = solve_triangular(ell, p, lower=True)
             qn2 = jnp.maximum(jnp.sum(q * q), 1e-30)
             lam_new = lam + (pnorm * pnorm / qn2) * (pnorm - radius) / radius
@@ -254,12 +287,12 @@ def lm_solve(
             lam_new = jnp.where(
                 bad, jnp.sqrt(jnp.maximum(lo, 1e-30) * jnp.maximum(hi, 1e-30)),
                 lam_new)
-            return lam_new, lo, hi
+            return i + 1, lam_new, lo, hi, p, interior
 
-        lam, _, _ = jax.lax.fori_loop(
-            0, cfg.tr_newton_iters, trip, (hi0 * 0.5, lam_floor, hi0))
-        _, p_b = solve_at(jnp.where(interior, lam_floor, lam))
-        return jnp.where(interior, p0, p_b), jnp.logical_not(interior)
+        carry0 = (jnp.asarray(0, jnp.int32), lam_floor, lam_floor, hi0,
+                  jnp.zeros_like(g), jnp.asarray(False))
+        _, _, _, _, p, interior = jax.lax.while_loop(cond, trip, carry0)
+        return p, jnp.logical_not(interior)
 
     def dogleg_tr_step(h, g, radius):
         """Powell dogleg on the damped-PD system: one factorization, the
