@@ -514,7 +514,11 @@ def main():
             lmcfg = LMConfig(
                 max_iters=100, huber_delta=3.0, tr_solver=tr or "eigh",
                 **({"tr_newton_iters": tr_it} if tr_it else {}))
-        fitter_s = build_fitter(prob_s, max_iters=100, lm_cfg=lmcfg)
+        # BENCH_SINGLE_CHUNK=N: chunked dispatch (per-chunk convergence
+        # exits bound the slowest-frame tail on wide batches)
+        chunk_s = int(os.environ.get("BENCH_SINGLE_CHUNK", "0"))
+        fitter_s = build_fitter(prob_s, max_iters=100, lm_cfg=lmcfg,
+                                chunk=chunk_s)
         t0 = time.perf_counter()
         fitter_s(x0_s, kp_fit).x.block_until_ready()
         log(f"bench: single-frame compile+first {time.perf_counter() - t0:.1f}s"

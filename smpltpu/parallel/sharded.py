@@ -101,15 +101,45 @@ def sharded_window_fit(mesh: Mesh, fitter, params0, shape0, kp, r0,
     return jax.jit(spmd)(*args)
 
 
-def sharded_frame_fit(mesh: Mesh, fitter, x0, kp, axis: str = "frames"):
+def sharded_frame_fit(mesh: Mesh, fitter, x0, kp, axis: str = "frames",
+                      chunk: int = 0):
     """DP the single-frame batch over the mesh: ``fitter`` is a
     build_fitter result (solve/single_frame.py — already jit(vmap) over
     the frame axis), so sharding the inputs lets GSPMD partition the
     batched program; per-frame solves are independent (the reference's
     per-frame loop, src/main_single_frame.cpp:192), so no communication
-    until the gather. Leading axis must be divisible by the mesh size."""
+    until the gather. Leading axis must be divisible by the mesh size.
+
+    chunk > 0 mirrors sharded_window_fit's chunked dispatch: inside a
+    shard_map each device lax.maps its LOCAL frame slice in chunk-sized
+    vmapped batches with per-chunk convergence exits (both the LM
+    while_loop AND the chol TR solver's secular-Newton while_loop
+    otherwise lift their conditions over the GLOBAL batch, every device
+    spinning until the globally slowest frame converges). Pass an
+    UNCHUNKED fitter (build_fitter(chunk=0)); local padding replicates
+    the last local frame."""
     spec_in = NamedSharding(mesh, P(axis))
-    return fitter(jax.device_put(x0, spec_in), jax.device_put(kp, spec_in))
+    args = (jax.device_put(x0, spec_in), jax.device_put(kp, spec_in))
+    if chunk <= 0:
+        return fitter(*args)
+
+    def local_chunked(lx0, lkp):
+        n = lx0.shape[0]
+        pad = (-n) % chunk
+        la = (lx0, lkp)
+        if pad:
+            la = tuple(
+                jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+                for x in la)
+        la = tuple(x.reshape((-1, chunk) + x.shape[1:]) for x in la)
+        out = jax.lax.map(lambda xs: fitter(*xs), la)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
+
+    spmd = shard_map(local_chunked, mesh=mesh,
+                     in_specs=(P(axis),) * 2, out_specs=P(axis),
+                     check_vma=False)
+    return jax.jit(spmd)(*args)
 
 
 # ---------------------------------------------------------------------

@@ -47,7 +47,7 @@ from smpltpu.utils.image import imread
 
 USAGE = """usage: python -m smpltpu.pipeline.single <SMPL.npz> <kps_folder> <images_folder> <out_dir>
                    [max_iters=100] [beta_pose=20] [beta_shape=30]
-                   [--opt-shape] [--use-gmm] [--mesh N]
+                   [--opt-shape] [--use-gmm] [--mesh N] [--frame-chunk N]
 """
 
 
@@ -65,6 +65,7 @@ def parse_args(argv):
         "opt_shape": False, "use_gmm": False, "pose_prior": None,
         "jax_render": False, "multi_start": False, "freeze_scale": False,
         "mesh": 0,  # 0 = auto (all visible devices), 1 = single-chip
+        "frame_chunk": 0,  # chunked dispatch: per-chunk convergence exits
     }
     seen_numeric = 0
     rest = list(argv[4:])
@@ -84,6 +85,8 @@ def parse_args(argv):
             opts["freeze_scale"] = True
         elif a == "--mesh" and rest:  # DP the frame batch over the mesh
             opts["mesh"] = max(0, int(float(rest.pop(0))))
+        elif a == "--frame-chunk" and rest:  # bound the slowest-frame tail
+            opts["frame_chunk"] = max(0, int(float(rest.pop(0))))
         elif _is_number(a):
             if seen_numeric == 0:
                 opts["max_iters"] = max(1, int(float(a)))
@@ -176,12 +179,17 @@ def main(argv=None) -> int:
     print(f"[INFO] devices visible: {len(jax.devices())}  mesh size: "
           f"{mesh_n if mesh is not None else 1}")
 
-    fitter = build_fitter(prob, max_iters=opts["max_iters"], dtype=dtype)
+    # --frame-chunk: under a mesh the chunking happens per-device inside
+    # sharded_frame_fit (the fitter must stay unchunked there); on one
+    # chip build_fitter wraps the lax.map itself
+    fitter = build_fitter(prob, max_iters=opts["max_iters"], dtype=dtype,
+                          chunk=0 if mesh is not None else opts["frame_chunk"])
     kp_dev = jnp.asarray(kp_fit, dtype)
 
     def run_solve():
         if mesh is not None:
-            return sharded_frame_fit(mesh, fitter, x0, kp_dev)
+            return sharded_frame_fit(mesh, fitter, x0, kp_dev,
+                                     chunk=opts["frame_chunk"])
         return fitter(x0, kp_dev)
 
     timer = StageTimer()

@@ -144,12 +144,25 @@ def _bounds_and_frozen(prob: SingleFrameProblem, dtype):
 
 
 def build_fitter(prob: SingleFrameProblem, max_iters: int, dtype=jnp.float32,
-                 lm_cfg: Optional[LMConfig] = None):
+                 lm_cfg: Optional[LMConfig] = None, chunk: int = 0):
     """Return a jitted fn(x0 (F, P[+nS]), kp_dense (F, K, 4)) -> LMState
     that fits all frames at once (vmapped batched LM). The problem's arrays
     are closure-captured as compile-time constants — one compilation per
     problem definition, reused across calls. lm_cfg overrides the shipped
-    LMConfig (max_iters is still taken from the explicit argument)."""
+    LMConfig (max_iters is still taken from the explicit argument).
+
+    chunk > 0 dispatches the batch as a lax.map over chunk-sized vmapped
+    sub-batches, each with its own convergence-exit while_loop — the
+    single-frame analogue of solve/multi_frame.build_chunked_window_fit.
+    The plain vmapped batch runs until its SLOWEST frame converges (both
+    the LM while_loop and the chol TR solver's secular-Newton while_loop
+    lift their conditions over the whole batch); on the bench workload
+    going 128 -> 1000 frames wide costs 3.7 -> 7.9 ms/frame from that
+    tail alone. Per-frame optima are unchanged (converged frames freeze
+    — same invariant as the window version, pinned bit-tight in f64 by
+    tests/test_single_frame_solver.py::test_chunked_fitter_matches_vmap);
+    the batch is padded to a chunk multiple by replicating the last frame
+    and padded outputs are stripped."""
     lower, upper, frozen = _bounds_and_frozen(prob, dtype)
     if lm_cfg is None:
         cfg = LMConfig(max_iters=max_iters, huber_delta=HUBER_DELTA)
@@ -160,7 +173,24 @@ def build_fitter(prob: SingleFrameProblem, max_iters: int, dtype=jnp.float32,
         return lm_solve(lambda x: _residual_fn(x, kp_i, prob),
                         x0_i, cfg, lower=lower, upper=upper, frozen=frozen)
 
-    return jax.jit(jax.vmap(solve_one))
+    vfit = jax.vmap(solve_one)
+    if chunk <= 0:
+        return jax.jit(vfit)
+
+    def run(x0, kp_dense):
+        n = x0.shape[0]
+        pad = (-n) % chunk
+        args = (x0, kp_dense)
+        if pad:
+            args = tuple(
+                jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+                for a in args)
+        args = tuple(a.reshape((-1, chunk) + a.shape[1:]) for a in args)
+        out = jax.lax.map(lambda xs: vfit(*xs), args)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
+
+    return jax.jit(run)
 
 
 _fitter_cache: dict = {}

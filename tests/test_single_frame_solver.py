@@ -211,6 +211,31 @@ def test_tr_solver_chol_matches_eigh(rig, rng):
     assert np.all(dc < dh[:, 0]), (dc, dh[:, 0])
 
 
+def test_chunked_fitter_matches_vmap(rig, rng):
+    """build_fitter(chunk=N) == the plain vmapped batch, bit-tight in
+    f64: converged frames freeze (lm.step's do_move mask), so a chunk's
+    extra or fewer batch iterations never move them. Exercises pad
+    (5 frames, chunk 2)."""
+    from smpltpu.solve import build_fitter
+
+    model, cam, prob = rig
+    f = 5
+    gts = [make_gt_params(rng) for _ in range(f)]
+    kps = jnp.asarray(np.stack([
+        project_gt_keypoints(g, jnp.zeros(10), prob.spec, cam)
+        for g in gts]))
+    x0 = jnp.tile(init_frame_params(dtype=jnp.float64), (f, 1))
+
+    plain = build_fitter(prob, 60, dtype=jnp.float64)(x0, kps)
+    chunked = build_fitter(prob, 60, dtype=jnp.float64, chunk=2)(x0, kps)
+    np.testing.assert_allclose(np.asarray(chunked.cost),
+                               np.asarray(plain.cost), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(chunked.x), np.asarray(plain.x),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(chunked.iters_run)[:2],
+                                  np.asarray(plain.iters_run)[:2])
+
+
 def test_mean_pixel_error_metric(rig, rng):
     model, cam, prob = rig
     from smpltpu.models import smpl_forward
