@@ -325,7 +325,11 @@ def main():
             prepare_lbs_operands,
         )
         from smpltpu.pipeline.common import params_to_pose
-        from smpltpu.render.pallas_raster import pick_cap, rasterize_tiled
+        from smpltpu.render.pallas_raster import (
+            pick_cap,
+            pick_spans,
+            rasterize_tiled,
+        )
 
         # per-frame params: first `stride` frames of each window + the tail
         # of the last window (the CLI's write-back convention)
@@ -364,11 +368,20 @@ def main():
             return jnp.transpose(verts[:, :, :n_v], (0, 2, 1))
 
         vfirst = np.asarray(jax.jit(chunk_verts)(jnp.asarray(frame_params[:CH])))
+        sy, sx = pick_spans(vfirst[0], np.asarray(model.faces),
+                            fxr, fyr, cxr, cyr, h_r, w_r)
         mc, bc = 1, 64
         for k in range(0, CH, 25):
+            s_y, s_x = pick_spans(vfirst[k], np.asarray(model.faces),
+                                  fxr, fyr, cxr, cyr, h_r, w_r)
+            sy, sx = max(sy, s_y), max(sx, s_x)
+        for k in range(0, CH, 25):
             m, b = pick_cap(vfirst[k], np.asarray(model.faces),
-                            fxr, fyr, cxr, cyr, h_r, w_r)
+                            fxr, fyr, cxr, cyr, h_r, w_r,
+                            span_y=sy, span_x=sx)
             mc, bc = max(mc, m), max(bc, b)
+        log(f"bench: raster binning window {sy}x{sx} tiles, "
+            f"max_chunks {mc}, big_cap {bc}")
         faces_j = jnp.asarray(np.asarray(model.faces, np.int32))
 
         edge_mode = os.environ.get("BENCH_RASTER_EDGES", "vpu")
@@ -377,7 +390,8 @@ def main():
             vs = chunk_verts(pchunk)
             return jax.vmap(lambda v: rasterize_tiled(
                 v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
-                max_chunks=mc, big_cap=bc, edge_mode=edge_mode)[0])(vs)
+                max_chunks=mc, big_cap=bc, edge_mode=edge_mode,
+                span_y=sy, span_x=sx)[0])(vs)
 
         rchunk = jax.jit(render_chunk)
         pj = jnp.asarray(frame_params)
@@ -406,7 +420,7 @@ def main():
             stage_lbs("lbs", N_FRAMES, int(model.num_verts)), dtr))
         log("bench: " + report(stage_raster(
             "raster", N_FRAMES, int(model.faces.shape[0]), n_tiles, mc,
-            CHUNK, TILE_H * TILE_W), dtr,
+            CHUNK, TILE_H * TILE_W, bin_entries=sy * sx), dtr,
             dispatches=-(-N_FRAMES // CH)))
 
     if os.environ.get("BENCH_STREAM", "0") == "1":

@@ -80,16 +80,24 @@ def main():
                 os.environ.get("RP_SCALES", "0.375 1.0").split()]:
         w_r, h_r = int(720 * s_r), int(1280 * s_r)
         fxr, fyr, cxr, cyr = (float(c) * s_r for c in cam)
+        bf = float(os.environ.get("RP_BIGFRAC", "0.02"))
+        sy, sx = pr.SPAN, pr.SPAN
+        for k in range(0, ch, 25):
+            s_y, s_x = pr.pick_spans(vfirst[k], np.asarray(model.faces),
+                                     fxr, fyr, cxr, cyr, h_r, w_r,
+                                     big_frac=bf)
+            sy, sx = max(sy, s_y), max(sx, s_x)
         mc, bc = 1, 64
         for k in range(0, ch, 25):
             m, b = pr.pick_cap(vfirst[k], np.asarray(model.faces),
-                               fxr, fyr, cxr, cyr, h_r, w_r)
+                               fxr, fyr, cxr, cyr, h_r, w_r,
+                               span_y=sy, span_x=sx)
             mc, bc = max(mc, m), max(bc, b)
         n_ty = -(-h_r // pr.TILE_H)
         n_tx = -(-w_r // pr.TILE_W)
         print(f"--- {w_r}x{h_r}: tiles {n_ty}x{n_tx}={n_ty * n_tx}, "
-              f"max_chunks {mc}, big_cap {bc}, CHUNK {pr.CHUNK}, "
-              f"TILE_H {pr.TILE_H}")
+              f"span {sy}x{sx}, max_chunks {mc}, big_cap {bc}, "
+              f"CHUNK {pr.CHUNK}, TILE_H {pr.TILE_H}")
 
         @jax.jit
         def phase1(vs):
@@ -97,7 +105,7 @@ def main():
                 u, vv, key, keep = pr._face_setup(v, faces_j, fxr, fyr,
                                                   cxr, cyr)
                 sf, first, gbin, big_n = pr._bin_faces(
-                    u, vv, keep, n_ty, n_tx, bc)
+                    u, vv, keep, n_ty, n_tx, bc, sy, sx)
                 return sf.sum() + first.sum() + gbin.sum() + big_n
             return jax.vmap(one)(vs)
 
@@ -105,7 +113,7 @@ def main():
         def full(vs):
             return jax.vmap(lambda v: pr.rasterize_tiled(
                 v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
-                max_chunks=mc, big_cap=bc)[0])(vs)
+                max_chunks=mc, big_cap=bc, span_y=sy, span_x=sx)[0])(vs)
 
         vj = jnp.asarray(vfirst)
         t1 = bench(phase1, vj)

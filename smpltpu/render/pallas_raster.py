@@ -15,23 +15,41 @@ scatter-free two-phase design shaped for the hardware:
      scatters, no sentinel-padded gathers — the per-entry edge data is
      gathered once in sorted order (every byte useful).
 
-  phase 2 (Pallas kernel, grid = (tiles, chunks)): the scalar-prefetched
-     segment offsets drive the BlockSpec index_map, so each (8, 128)-pixel
-     tile streams exactly the CHUNK-sized blocks overlapping its own
-     segment (Pallas skips re-fetching repeated blocks, so empty tiles
-     cost nothing). Per chunk the three edge functions for all 1024
-     pixels are three (1024,3)x(3,CHUNK) MXU matmuls (precision HIGHEST —
-     bf16 passes cannot resolve sub-pixel edges from ~1e3-scale
-     coordinates), the inside test and key-select are VPU ops, and the
-     running z-buffer lives in a VMEM scratch that persists across the
-     tile's sequential grid steps.
+  phase 2 (Pallas kernel, grid = (worklist,)): phase 1 knows each tile's
+     exact block count (ceil over its segment), so it emits a COMPACTED
+     tile-major worklist of (tile, block) pairs — every tile contributes
+     max(blocks, 1) entries and the static grid length is exactly
+     n_blocks + n_tiles, so no grid step is a scheduled no-op and no
+     per-tile chunk budget (or truncation) exists at all. The
+     scalar-prefetched worklist drives both the input BlockSpec index_map
+     (which CHUNK-block of sorted edge data to stream) and the output
+     index_map (which tile's pixels to write; revisits are consecutive by
+     construction). A tile's first worklist entry initializes the VMEM
+     z-buffer scratch and sweeps the global big-face list. Per block the
+     three edge functions for all tile pixels are VPU broadcast FMAs (see
+     edge_mode), the inside test and key-select are VPU ops, and the
+     running z-buffer lives in the scratch persisting across the tile's
+     consecutive steps. (The previous dense (tiles, max_chunks) grid
+     paid ~2-3 us of scheduling per SKIPPED step — 1150 of 1620 steps at
+     270x480 — and truncated segments beyond the static budget; the
+     worklist removes both.)
 
-Faces whose bbox spans more than a SPAN x SPAN tile window (16 px tall x
-256 px wide — rare at SMPL mesh density) go to a small global list that
-every tile also walks (their edge tests mask them outside their bbox),
-so nothing is truncated. Per-tile segments beyond the static chunk
-budget are dropped (the budget is auto-sized by pick_cap, pow2-bucketed
-to bound recompiles).
+Faces whose bbox spans more than a span_y x span_x tile window
+(span_y*TILE_H px tall x span_x*TILE_W px wide) go to a small global
+list that every tile also walks (their edge tests mask them outside
+their bbox), so nothing is truncated. Per-tile segments beyond the
+static chunk budget are dropped (the budget is auto-sized by pick_cap,
+pow2-bucketed to bound recompiles).
+
+The binning window must track resolution: at 270x480 the default 2x2
+window (16 px x 256 px) fits nearly every SMPL face, but at the video1
+source resolution 720x1280 typical faces are 10-30 px tall, thousands
+spill onto the global big list, and the every-tile big sweep becomes
+the whole kernel (measured 23.8 ms/frame = 41 fps, 2026-08-19 TPU
+phase profile — scripts/profile_raster.py). pick_spans auto-sizes
+(span_y, span_x) so the big list stays rare; each face emits
+span_y*span_x sort entries, so the phase-1 sort grows with the window
+— the auto-sizer balances the two.
 """
 
 from __future__ import annotations
@@ -54,7 +72,8 @@ if TILE_H <= 0 or TILE_H % 8 != 0:
         f"VMEM sublane granularity), got {TILE_H} — a bad value would only "
         "surface later as an opaque Mosaic compile error")
 TILE_W = 128
-SPAN = 2          # binning enumerates a SPAN x SPAN tile window per face
+SPAN = 2          # default binning window (span_y = span_x = SPAN tiles
+                  # per face); resolution-dependent — see pick_spans
 # faces processed per kernel step (import-time override for A/Bs).
 # v5e sweep at SMPL density, 270x480 (2026-08-18): 128/256/512/1024/2048
 # -> 164/242/259/223/140 frames/s — 512 is the knee (fewer grid steps
@@ -111,7 +130,7 @@ def _tile_ranges(u, v, n_ty, n_tx):
     return ty0, ty1, tx0, tx1
 
 
-def _bin_faces(u, v, keep, n_ty, n_tx, big_cap):
+def _bin_faces(u, v, keep, n_ty, n_tx, big_cap, span_y=SPAN, span_x=SPAN):
     """Sorted ragged binning. Returns (sf (Np,) face ids in sorted-entry
     order padded with n_faces, first (T+1,) segment offsets, gbin
     (big_cap,) global big-face ids, big_n ())."""
@@ -120,13 +139,13 @@ def _bin_faces(u, v, keep, n_ty, n_tx, big_cap):
     ty0, ty1, tx0, tx1 = _tile_ranges(u, v, n_ty, n_tx)
     on = keep & (jnp.max(u, 1) >= 0) & (jnp.min(u, 1) < n_tx * TILE_W) \
               & (jnp.max(v, 1) >= 0) & (jnp.min(v, 1) < n_ty * TILE_H)
-    big = on & ((ty1 - ty0 >= SPAN) | (tx1 - tx0 >= SPAN))
+    big = on & ((ty1 - ty0 >= span_y) | (tx1 - tx0 >= span_x))
     small = on & jnp.logical_not(big)
 
     face_idx = jnp.arange(n_faces, dtype=jnp.int32)
     packs = []
-    for dy in range(SPAN):
-        for dx in range(SPAN):
+    for dy in range(span_y):
+        for dx in range(span_x):
             ty = ty0 + dy
             tx = tx0 + dx
             ok = small & (ty <= ty1) & (tx <= tx1)
@@ -152,15 +171,46 @@ def _bin_faces(u, v, keep, n_ty, n_tx, big_cap):
     return sf, first, gbin[:big_cap], big_n
 
 
+def _build_worklist(first, n_tiles, n_blocks):
+    """Compacted tile-major (tile, block, is_first) worklist.
+
+    Tile t's segment [first[t], first[t+1]) touches blocks
+    [first[t]//CHUNK, (first[t+1]-1)//CHUNK]; empty tiles still emit one
+    entry (z-buffer init + big sweep + output write). Static length
+    L = n_blocks + n_tiles bounds the total exactly (each tile adds at
+    most one straddle block beyond its pro-rata share); padding entries
+    alias the LAST tile with a block already processed — re-min-ing the
+    same candidates is idempotent, and the consecutive output revisit
+    keeps the Pallas write-back contract. Returns (wl_tile, wl_blk,
+    wl_init) int32 (L,)."""
+    n_l = n_blocks + n_tiles
+    first = first.astype(jnp.int32)
+    seg = first[1:] - first[:-1]
+    blk0 = first[:-1] // CHUNK
+    blk1 = jnp.maximum(first[1:] - 1, 0) // CHUNK
+    n_blk = jnp.where(seg > 0, blk1 - blk0 + 1, 1).astype(jnp.int32)
+    base = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_blk).astype(jnp.int32)])
+    total = base[-1]
+    i = jnp.arange(n_l, dtype=jnp.int32)
+    tile = jnp.clip(jnp.searchsorted(base, i, side="right") - 1,
+                    0, n_tiles - 1).astype(jnp.int32)
+    within = i - base[tile]
+    blk = jnp.clip(blk0[tile] + within, 0, n_blocks - 1)
+    init = ((within == 0) & (i < total)).astype(jnp.int32)
+    return tile, blk, init
+
+
 def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
-                   out_ref, acc, *, edge_mode="vpu"):
-    """Grid step (t, k): tile t consumes the k-th CHUNK-block overlapping
-    its sorted segment [first[t], first[t+1]); k == 0 also initializes the
-    tile's z-buffer scratch and sweeps the global big-face list.
-    scal_ref (T+2,) = [first..., big_n]; edge_ref (12, CHUNK) block of the
-    sorted edge data; key_ref (1, CHUNK); g* refs the (12|1, big_cap)
-    global list; out (1, TILE_H, TILE_W); acc (TILE_H*TILE_W, 1) scratch
-    persisting across the tile's k steps.
+                   out_ref, acc, *, edge_mode="vpu", n_tiles=0, n_l=0):
+    """Grid step i: worklist entry i = (tile t, CHUNK-block blk) of t's
+    sorted segment [first[t], first[t+1]); the tile's first entry also
+    initializes the z-buffer scratch and sweeps the global big-face list.
+    scal_ref (T+2+3L,) = [first (T+1), n_tx<<16|big_n, wl_tile (L),
+    wl_blk (L), wl_init (L)]; edge_ref (12, CHUNK) block of the sorted
+    edge data; key_ref (1, CHUNK); g* refs the (12|1, big_cap) global
+    list; out (1, TILE_H, TILE_W); acc (TILE_H*TILE_W, 1) scratch
+    persisting across the tile's consecutive steps.
 
     edge_mode picks how e(x,y) = A x + B y + C is evaluated per pixel:
       "vpu"  — broadcast FMAs (n_pix,1)*(1,CHUNK): native-f32 VPU math,
@@ -174,13 +224,12 @@ def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
       "mxu"  — the original (1024,3)x(3,CHUNK) HIGHEST dot_generals.
     """
     n_pix = TILE_H * TILE_W
-    t = pl.program_id(0)
-    k = pl.program_id(1)
-    n_tiles = scal_ref.shape[0] - 2
+    i = pl.program_id(0)
+    t = scal_ref[n_tiles + 2 + i]
+    is_init = scal_ref[n_tiles + 2 + 2 * n_l + i] == 1
     lo = scal_ref[t]
     hi = scal_ref[t + 1]
-    blk0 = lo // CHUNK
-    start = (blk0 + k) * CHUNK
+    start = scal_ref[n_tiles + 2 + n_l + i] * CHUNK
 
     # pixel matrix (1024, 3): columns cx, cy, 1 at pixel centers
     r_id = jax.lax.broadcasted_iota(jnp.int32, (n_pix, 3), 0)
@@ -216,21 +265,21 @@ def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
         return (((e1 >= 0.0) == s0) | (jnp.abs(e1) < 1e-12)) \
             & (((e2 >= 0.0) == s0) | (jnp.abs(e2) < 1e-12))
 
-    @pl.when(k == 0)
+    @pl.when(is_init)
     def _():
         acc[...] = jnp.full((n_pix, 1), SENTINEL, jnp.int32)
 
     # tile pixel origin (tile linear id t -> (ty, tx) via the x tile count
     # baked in statically through the out_ref alias trick is not available;
-    # the caller passes n_tx via scal_ref's tail slot count instead — see
-    # rasterize_tiled, which appends n_tx as the LAST scalar)
+    # the caller passes n_tx packed into scal_ref's tail slot instead — see
+    # rasterize_tiled)
     ntx = scal_ref[n_tiles + 1] >> 16          # high half: n_tx
     big_n = scal_ref[n_tiles + 1] & 0xFFFF     # low half: big-face count
     base_x = ((t % ntx) * TILE_W).astype(jnp.float32)
     base_y = ((t // ntx) * TILE_H).astype(jnp.float32)
     pix = make_pix(base_x, base_y)
 
-    @pl.when(k == 0)
+    @pl.when(is_init)
     def _():
         big_cap = gedge_ref.shape[1]
         gchunk = min(big_cap, CHUNK)
@@ -261,21 +310,27 @@ def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
 
 
 @partial(jax.jit, static_argnames=("height", "width", "max_chunks",
-                                   "big_cap", "interpret", "edge_mode"))
+                                   "big_cap", "interpret", "edge_mode",
+                                   "span_y", "span_x"))
 def rasterize_tiled(
     verts_cam: jnp.ndarray,   # (nV, 3) camera-space vertices
     faces: jnp.ndarray,       # (nF, 3) int32
     fx, fy, cx, cy,
     height: int,
     width: int,
-    max_chunks: int = 4,      # per-tile chunk budget (pick_cap auto-sizes)
+    max_chunks: int = 4,      # UNUSED (kept for call-site compat): the
+                              # worklist grid sizes itself exactly; no
+                              # per-tile budget or truncation exists
     big_cap: int = 256,
     interpret: bool = False,
     edge_mode: str = "vpu",   # see _raster_kernel; "mxu" = legacy matmuls
+    span_y: int = SPAN,       # binning window in tiles (pick_spans
+    span_x: int = SPAN,       # auto-sizes per resolution)
 ):
     """Rasterize one frame with the tile-binned kernel. Returns
     (gray (H, W) uint8, covered (H, W) bool) — same contract/semantics as
     jax_raster.rasterize_zbuffer."""
+    del max_chunks
     n_faces = faces.shape[0]
     assert n_faces < (1 << FACE_BITS)
     n_ty = -(-height // TILE_H)
@@ -283,7 +338,8 @@ def rasterize_tiled(
     n_tiles = n_ty * n_tx
     u, v, key, keep = _face_setup(verts_cam.astype(jnp.float32), faces,
                                   fx, fy, cx, cy)
-    sf, first, gbin, big_n = _bin_faces(u, v, keep, n_ty, n_tx, big_cap)
+    sf, first, gbin, big_n = _bin_faces(u, v, keep, n_ty, n_tx, big_cap,
+                                        span_y, span_x)
     n_blocks = sf.shape[0] // CHUNK
 
     # edge-function coefficients per face: e(x, y) = A x + B y + C
@@ -309,35 +365,38 @@ def rasterize_tiled(
     gedge = coef[:, gbin]                         # (12, big_cap)
     gkey = key_ext[gbin][None]                    # (1, big_cap)
 
-    # scalars: first offsets + packed (n_tx << 16 | big_n) tail slot
+    # scalars: first offsets + packed (n_tx << 16 | big_n) tail slot +
+    # the compacted worklist (tile, block, is_first) triples
+    n_l = n_blocks + n_tiles
+    wl_tile, wl_blk, wl_init = _build_worklist(first, n_tiles, n_blocks)
     tail = (jnp.int32(n_tx) << 16) | big_n.astype(jnp.int32)
-    scal = jnp.concatenate([first, tail[None]])
-
-    def blk_of(t, k, s):
-        return jnp.clip(s[t] // CHUNK + k, 0, n_blocks - 1)
+    scal = jnp.concatenate([first, tail[None], wl_tile, wl_blk, wl_init])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles, max_chunks),
+        grid=(n_l,),
         in_specs=[
-            pl.BlockSpec((12, CHUNK), lambda t, k, s: (0, blk_of(t, k, s)),
+            pl.BlockSpec((12, CHUNK),
+                         lambda i, s: (0, s[n_tiles + 2 + n_l + i]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK), lambda t, k, s: (0, blk_of(t, k, s)),
+            pl.BlockSpec((1, CHUNK),
+                         lambda i, s: (0, s[n_tiles + 2 + n_l + i]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, gbin.shape[0]), lambda t, k, s: (0, 0),
+            pl.BlockSpec((12, gbin.shape[0]), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gbin.shape[0]), lambda t, k, s: (0, 0),
+            pl.BlockSpec((1, gbin.shape[0]), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TILE_H, TILE_W),
-                               lambda t, k, s: (t, 0, 0),
+                               lambda i, s: (s[n_tiles + 2 + i], 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((TILE_H * TILE_W, 1), jnp.int32)],
     )
     if edge_mode not in ("vpu", "mxu"):
         raise ValueError(f"edge_mode must be 'vpu' or 'mxu', got {edge_mode!r}")
     out = pl.pallas_call(
-        partial(_raster_kernel, edge_mode=edge_mode),
+        partial(_raster_kernel, edge_mode=edge_mode, n_tiles=n_tiles,
+                n_l=n_l),
         out_shape=jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -350,11 +409,7 @@ def rasterize_tiled(
     return jnp.where(covered, gray_img, 0), covered
 
 
-def pick_cap(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
-             height: int, width: int, hi: int = 8192) -> tuple:
-    """(max_chunks, big_cap): static per-tile chunk budget covering the
-    densest tile's segment (+1 for chunk straddle) and the global big-face
-    capacity, pow2-bucketed to bound jit recompiles."""
+def _face_tile_spans(verts_cam, faces, fx, fy, cx, cy, height, width):
     v = np.asarray(verts_cam, np.float64)
     z = np.maximum(v[:, 2], 1e-8)
     u = fx * v[:, 0] / z + cx
@@ -367,10 +422,22 @@ def pick_cap(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
     ty1 = np.clip(np.floor(wf.max(1) / TILE_H).astype(int), 0, n_ty - 1)
     tx0 = np.clip(np.floor(uf.min(1) / TILE_W).astype(int), 0, n_tx - 1)
     tx1 = np.clip(np.floor(uf.max(1) / TILE_W).astype(int), 0, n_tx - 1)
-    big = (ty1 - ty0 >= SPAN) | (tx1 - tx0 >= SPAN)
+    return ty0, ty1, tx0, tx1, n_ty, n_tx
+
+
+def pick_cap(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
+             height: int, width: int, hi: int = 8192,
+             span_y: int = SPAN, span_x: int = SPAN) -> tuple:
+    """(max_chunks, big_cap): static per-tile chunk budget covering the
+    densest tile's segment (+1 for chunk straddle) and the global big-face
+    capacity, pow2-bucketed to bound jit recompiles. span_y/span_x must
+    match the rasterize_tiled call (use pick_spans first)."""
+    ty0, ty1, tx0, tx1, n_ty, n_tx = _face_tile_spans(
+        verts_cam, faces, fx, fy, cx, cy, height, width)
+    big = (ty1 - ty0 >= span_y) | (tx1 - tx0 >= span_x)
     counts = np.zeros(n_ty * n_tx, int)
-    for dy in range(SPAN):
-        for dx in range(SPAN):
+    for dy in range(span_y):
+        for dx in range(span_x):
             sel = (~big) & (ty0 + dy <= ty1) & (tx0 + dx <= tx1)
             np.add.at(counts, ((ty0 + dy) * n_tx + (tx0 + dx))[sel], 1)
     need = int(counts.max()) if counts.size else 1
@@ -379,10 +446,43 @@ def pick_cap(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
         mc *= 2
     mc += 1  # chunk straddle: a segment can touch one extra block
     nbig = int(big.sum())
-    big_cap = CHUNK
-    while big_cap < min(nbig, hi):
+    # 128-slot floor (the f32 VMEM lane width), NOT CHUNK: every tile
+    # sweeps ceil(big_n/gchunk) gchunk-slot blocks of the big list at its
+    # init step, so an oversized cap multiplies work across ALL tiles
+    # (960 tiles x the 512-vs-actual slack was a large slice of the
+    # full-res kernel)
+    big_cap = 128
+    while big_cap < min(max(nbig, 1), hi):
         big_cap *= 2
     return mc, big_cap
+
+
+def pick_spans(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
+               height: int, width: int, big_frac: float = 0.02,
+               max_span: int = 8) -> tuple:
+    """(span_y, span_x): smallest pow2 binning window (in tiles) that
+    keeps the global big-face list under ``big_frac`` of the faces.
+
+    Every tile sweeps the WHOLE big list at its k==0 step, so big faces
+    cost O(n_tiles * big_n) — at 720x1280 the default 2x2 window leaves
+    thousands of 10-30 px faces on the list and the sweep IS the kernel
+    (23.8 ms/frame). Growing the window trades big-sweep work for
+    span_y*span_x sort entries per face (phase-1 sort is ~0.5 ms/frame —
+    cheap). Pow2-bucketed; pass the result to pick_cap AND
+    rasterize_tiled."""
+    ty0, ty1, tx0, tx1, _, _ = _face_tile_spans(
+        verts_cam, faces, fx, fy, cx, cy, height, width)
+    n = max(len(ty0), 1)
+    span_y, span_x = SPAN, SPAN
+    while span_y < max_span and (
+            np.sum((ty1 - ty0 >= span_y) | (tx1 - tx0 >= span_x)) / n
+            > big_frac):
+        span_y *= 2
+    while span_x < max_span and (
+            np.sum((ty1 - ty0 >= span_y) | (tx1 - tx0 >= span_x)) / n
+            > big_frac):
+        span_x *= 2
+    return span_y, span_x
 
 
 def render_overlay_tiled(verts_cam, faces, img_bgr: np.ndarray,
@@ -391,13 +491,15 @@ def render_overlay_tiled(verts_cam, faces, img_bgr: np.ndarray,
     Drop-in for jax_raster.render_overlay_jax; auto-sizes the chunk
     budget and runs the kernel in interpret mode off-TPU."""
     h, w = img_bgr.shape[:2]
+    sy, sx = pick_spans(np.asarray(verts_cam), np.asarray(faces),
+                        fx, fy, cx, cy, h, w)
     mc, bc = pick_cap(np.asarray(verts_cam), np.asarray(faces),
-                      fx, fy, cx, cy, h, w)
+                      fx, fy, cx, cy, h, w, span_y=sy, span_x=sx)
     interp = jax.default_backend() == "cpu"
     gray, covered = rasterize_tiled(
         jnp.asarray(verts_cam), jnp.asarray(np.asarray(faces, np.int32)),
         float(fx), float(fy), float(cx), float(cy), h, w,
-        max_chunks=mc, big_cap=bc, interpret=interp)
+        max_chunks=mc, big_cap=bc, interpret=interp, span_y=sy, span_x=sx)
     gray = np.asarray(gray)
     covered = np.asarray(covered)
     out = img_bgr.copy()

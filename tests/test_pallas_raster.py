@@ -87,6 +87,41 @@ def test_edge_mode_mxu_matches_vpu(small_model_dict):
     np.testing.assert_array_equal(outs["vpu"][0], outs["mxu"][0])
 
 
+def test_span_variants_pixel_exact(small_model_dict):
+    """The binning window (span_y, span_x) redistributes faces between
+    per-tile segments and the global big list — NEVER changes the image.
+    Render at a close camera so faces genuinely span many tiles (the
+    720x1280 regime where pick_spans grows the window), then assert every
+    span choice is pixel-identical to the z-buffer reference."""
+    import jax.numpy as jnp
+
+    from smpltpu.models import SMPLModel, smpl_forward
+    from smpltpu.render.pallas_raster import pick_spans
+
+    model = SMPLModel.from_dict(small_model_dict, dtype=jnp.float32)
+    out = smpl_forward(model, jnp.zeros(10),
+                       jnp.broadcast_to(jnp.eye(3), (24, 3, 3)),
+                       jnp.asarray([0.0, 0.0, 1.2]))  # close-up: big faces
+    verts = np.asarray(out["verts"], np.float32)
+    faces = np.asarray(model.faces, np.int32)
+    patch = pick_patch(verts, faces, FX, FY, CX, CY)
+    g_ref, c_ref = rasterize_zbuffer(jnp.asarray(verts), jnp.asarray(faces),
+                                     FX, FY, CX, CY, H, W, patch=patch)
+    auto = pick_spans(verts, faces, FX, FY, CX, CY, H, W)
+    assert auto >= (2, 2)
+    for sy, sx in {(2, 2), (4, 2), (4, 4), auto}:
+        mc, bc = pick_cap(verts, faces, FX, FY, CX, CY, H, W,
+                          span_y=sy, span_x=sx)
+        g, c = rasterize_tiled(jnp.asarray(verts), jnp.asarray(faces),
+                               FX, FY, CX, CY, H, W, max_chunks=mc,
+                               big_cap=bc, interpret=True,
+                               span_y=sy, span_x=sx)
+        np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c),
+                                      err_msg=f"span {sy}x{sx}")
+        np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g),
+                                      err_msg=f"span {sy}x{sx}")
+
+
 def test_behind_camera_and_backface_culled():
     verts = np.array([
         [-0.2, -0.2, 2.0], [0.2, -0.2, 2.0], [0.0, 0.3, 2.0],
