@@ -41,8 +41,16 @@ def parse(path):
         if cur is None:
             continue
         if line.startswith('{"metric"'):
+            # a section can carry several JSON lines (BENCH_SINGLE emits
+            # its own single_frame_throughput record on stderr before the
+            # headline stdout line) — keep the headline in fps, surface
+            # variant records as extra rows
             try:
-                cur["fps"] = json.loads(line)["value"]
+                rec = json.loads(line)
+                if rec.get("metric", "").startswith("solver_throughput"):
+                    cur["fps"] = rec["value"]
+                else:
+                    cur["extra"].append(line.strip())
             except ValueError:
                 pass
         m = re.search(r"stage-1 (\d+) ms \+ stage-2 (\d+) ms", line)
@@ -101,6 +109,8 @@ def main(argv):
     headline = [r for r in ok
                 if "BENCH_FRAMES" not in r["env"]
                 and "BENCH_CHUNK" not in r["env"]
+                and "BENCH_SINGLE" not in r["env"]
+                and "BENCH_RENDER" not in r["env"]
                 and r["px"] is not None]
     if headline:
         best_px = min(r["px"] for r in headline)

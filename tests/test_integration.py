@@ -90,6 +90,35 @@ def test_bench_smoke():
     assert rec["value"] > 0
 
 
+def test_bench_single_smoke():
+    """BENCH_SINGLE=1 wiring end-to-end on CPU: the single-frame variant
+    must emit its own JSON record on stderr (gmm + multistart + chunk
+    knobs exercised tiny) while the headline stdout contract stays ONE
+    line."""
+    flags = " ".join(f for f in os.environ.get("XLA_FLAGS", "").split()
+                     if "xla_force_host_platform_device_count" not in f)
+    env = dict(os.environ, BENCH_FRAMES="60", JAX_PLATFORMS="cpu",
+               XLA_FLAGS=flags,
+               BENCH_SINGLE="1", BENCH_SINGLE_FRAMES="6",
+               BENCH_SINGLE_GMM="1", BENCH_SINGLE_CHUNK="3",
+               JAX_COMPILATION_CACHE_DIR=os.path.join(
+                   os.path.dirname(os.path.abspath(__file__)), ".xla_cache"),
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5")
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, proc.stdout  # headline contract unchanged
+    single = [l for l in proc.stderr.splitlines()
+              if l.startswith('{"metric": "single_frame')]
+    assert len(single) == 1, proc.stderr[-2000:]
+    rec = json.loads(single[0])
+    assert rec["value"] > 0 and rec["gmm"] is True
+
+
 def test_bench_mesh_smoke():
     """bench.py on an 8-virtual-device CPU mesh: the EXACT code path a
     real v5e-8 takes (auto mesh detection -> sharded stage-1 LM + window
