@@ -384,7 +384,7 @@ def main():
             f"max_chunks {mc}, big_cap {bc}")
         faces_j = jnp.asarray(np.asarray(model.faces, np.int32))
 
-        edge_mode = os.environ.get("BENCH_RASTER_EDGES", "vpu")
+        edge_mode = os.environ.get("BENCH_RASTER_EDGES", "rows")
 
         def render_chunk(pchunk):
             vs = chunk_verts(pchunk)

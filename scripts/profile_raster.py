@@ -11,7 +11,7 @@ weak #2 asks for a 720x1280 number AND a faster renderer):
 
 Usage (TPU):
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_raster.py
-Env: RP_SCALES="0.375 1.0"  RP_FRAMES=100
+Env: RP_SCALES="0.375 1.0"  RP_FRAMES=100  RP_EDGES=vpu|rows|mxu
 """
 
 import os
@@ -109,11 +109,14 @@ def main():
                 return sf.sum() + first.sum() + gbin.sum() + big_n
             return jax.vmap(one)(vs)
 
+        edge_mode = os.environ.get("RP_EDGES", "rows")
+
         @jax.jit
         def full(vs):
             return jax.vmap(lambda v: pr.rasterize_tiled(
                 v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
-                max_chunks=mc, big_cap=bc, span_y=sy, span_x=sx)[0])(vs)
+                max_chunks=mc, big_cap=bc, span_y=sy, span_x=sx,
+                edge_mode=edge_mode)[0])(vs)
 
         vj = jnp.asarray(vfirst)
         t1 = bench(phase1, vj)

@@ -213,6 +213,22 @@ def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
     persisting across the tile's consecutive steps.
 
     edge_mode picks how e(x,y) = A x + B y + C is evaluated per pixel:
+      "rows" — hoisted broadcasts on a (TILE_H, TILE_W, c) pair tensor:
+               px*A is row-invariant (computed once as (1, TILE_W, c),
+               1/TILE_H of pair cost) and py*B + C is column-invariant
+               ((TILE_H, 1, c), ~1/TILE_W), so the per-pair cost per edge
+               is ONE broadcast add; the inside test is min(e0,e1,e2) >
+               -eps (2 mins + 1 compare instead of 3 compares + 2 ands)
+               and the segment straddle mask is folded into the keys at
+               (1, c) cost instead of AND-ing over the pair tensor.
+               ~8 VPU ops/pair vs "vpu"'s ~19 on a kernel that is
+               measured VPU-bound on exactly that tensor. The summation
+               ASSOCIATION differs from "vpu" ((px*A) + (py*B + C) vs
+               ((px*A) + (py*B)) + C), which can flip sub-1e-12 edge
+               ties — the pixel-exact parity suite gates it (the "vpu"
+               form already rounds differently from jax_raster's direct
+               cross-product edges and stays pixel-identical at SMPL
+               scales).
       "vpu"  — broadcast FMAs (n_pix,1)*(1,CHUNK): native-f32 VPU math,
                no matmul. The MXU route pads the K=3 contraction to the
                systolic tile and needs Precision.HIGHEST's multi-pass
@@ -231,12 +247,27 @@ def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
     hi = scal_ref[t + 1]
     start = scal_ref[n_tiles + 2 + n_l + i] * CHUNK
 
+    # tile pixel origin (tile linear id t -> (ty, tx) via the x tile count
+    # baked in statically through the out_ref alias trick is not available;
+    # the caller passes n_tx packed into scal_ref's tail slot instead — see
+    # rasterize_tiled)
+    ntx = scal_ref[n_tiles + 1] >> 16          # high half: n_tx
+    big_n = scal_ref[n_tiles + 1] & 0xFFFF     # low half: big-face count
+    base_x = ((t % ntx) * TILE_W).astype(jnp.float32)
+    base_y = ((t // ntx) * TILE_H).astype(jnp.float32)
+
     # pixel matrix (1024, 3): columns cx, cy, 1 at pixel centers
     r_id = jax.lax.broadcasted_iota(jnp.int32, (n_pix, 3), 0)
     c_id = jax.lax.broadcasted_iota(jnp.int32, (n_pix, 3), 1)
     contract = (((1,), (0,)), ((), ()))
 
-    def make_pix(base_x, base_y):
+    def make_pix():
+        if edge_mode == "rows":
+            wid = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W, 1), 1)
+            hid = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, 1, 1), 0)
+            px = wid.astype(jnp.float32) + (base_x + 0.5)
+            py = hid.astype(jnp.float32) + (base_y + 0.5)
+            return px, py
         if edge_mode == "vpu":
             rid = jax.lax.broadcasted_iota(jnp.int32, (n_pix, 1), 0)
             px = (rid % TILE_W).astype(jnp.float32) + base_x + 0.5
@@ -246,7 +277,24 @@ def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
         py = (r_id // TILE_W).astype(jnp.float32) + base_y + 0.5
         return jnp.where(c_id == 0, px, jnp.where(c_id == 1, py, 1.0))
 
-    def edges(m, pix):
+    pix = make_pix()
+
+    def inside_of(m):
+        """(TILE_H, TILE_W, c) [rows] or (n_pix, c) [vpu/mxu] inside mask
+        for the edge-coefficient block m (12, c)."""
+        if edge_mode == "rows":
+            px, py = pix
+            c = m.shape[1]
+            es = []
+            for k in range(3):
+                a = m[3 * k + 0].reshape(1, 1, c)
+                b = m[3 * k + 1].reshape(1, 1, c)
+                cc = m[3 * k + 2].reshape(1, 1, c)
+                es.append(px * a + (py * b + cc))
+            # phase-1 canonical winding: interior pixels have all three
+            # edges >= 0 up to the shared tie slack, so all-of-three is
+            # min-of-three
+            return jnp.minimum(jnp.minimum(es[0], es[1]), es[2]) > -1e-12
         if edge_mode == "vpu":
             px, py = pix
             e0 = px * m[0:1, :] + py * m[1:2, :] + m[2:3, :]
@@ -268,31 +316,27 @@ def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
         # on the (pixels x CHUNK) pair tensor, which IS the kernel.
         return (e0 > -1e-12) & (e1 > -1e-12) & (e2 > -1e-12)
 
-    @pl.when(is_init)
-    def _():
-        acc[...] = jnp.full((n_pix, 1), SENTINEL, jnp.int32)
+    rows = edge_mode == "rows"
 
-    # tile pixel origin (tile linear id t -> (ty, tx) via the x tile count
-    # baked in statically through the out_ref alias trick is not available;
-    # the caller passes n_tx packed into scal_ref's tail slot instead — see
-    # rasterize_tiled)
-    ntx = scal_ref[n_tiles + 1] >> 16          # high half: n_tx
-    big_n = scal_ref[n_tiles + 1] & 0xFFFF     # low half: big-face count
-    base_x = ((t % ntx) * TILE_W).astype(jnp.float32)
-    base_y = ((t // ntx) * TILE_H).astype(jnp.float32)
-    pix = make_pix(base_x, base_y)
+    def accumulate(inside, keys):
+        """Fold candidate keys (already segment-masked) under inside."""
+        if rows:
+            cand = jnp.where(inside, keys.reshape(1, 1, -1), SENTINEL)
+            acc[...] = jnp.minimum(acc[...], jnp.min(cand, axis=2))
+        else:
+            cand = jnp.where(inside, keys, SENTINEL)
+            acc[...] = jnp.minimum(acc[...],
+                                   jnp.min(cand, axis=1, keepdims=True))
 
     @pl.when(is_init)
     def _():
+        acc[...] = jnp.full(acc.shape, SENTINEL, jnp.int32)
         big_cap = gedge_ref.shape[1]
         gchunk = min(big_cap, CHUNK)
 
         def gbody(i, _):
             sl = pl.ds(i * gchunk, gchunk)
-            inside = edges(gedge_ref[:, sl], pix)
-            cand = jnp.where(inside, gkey_ref[:, sl], SENTINEL)
-            acc[...] = jnp.minimum(
-                acc[...], jnp.min(cand, axis=1, keepdims=True))
+            accumulate(inside_of(gedge_ref[:, sl]), gkey_ref[:, sl])
             return 0
 
         n_g = jnp.minimum(pl.cdiv(big_n, jnp.int32(gchunk)),
@@ -301,13 +345,13 @@ def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
 
     @pl.when(start < hi)
     def _():
-        inside = edges(edge_ref[...], pix)
-        # mask entries outside this tile's segment (chunk straddle)
+        # mask entries outside this tile's segment (chunk straddle) — a
+        # per-COLUMN property, so fold it into the keys at (1, CHUNK)
+        # cost rather than AND-ing the (pixels x CHUNK) pair tensor
         col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + start
         ok = (col >= lo) & (col < hi)
-        cand = jnp.where(inside & ok, key_ref[...], SENTINEL)
-        acc[...] = jnp.minimum(acc[...],
-                               jnp.min(cand, axis=1, keepdims=True))
+        keym = jnp.where(ok, key_ref[...], SENTINEL)
+        accumulate(inside_of(edge_ref[...]), keym)
 
     out_ref[...] = acc[...].reshape(1, TILE_H, TILE_W)
 
@@ -326,7 +370,7 @@ def rasterize_tiled(
                               # per-tile budget or truncation exists
     big_cap: int = 256,
     interpret: bool = False,
-    edge_mode: str = "vpu",   # see _raster_kernel; "mxu" = legacy matmuls
+    edge_mode: str = "rows",  # see _raster_kernel; "vpu"/"mxu" = legacy
     span_y: int = SPAN,       # binning window in tiles (pick_spans
     span_x: int = SPAN,       # auto-sizes per resolution)
 ):
@@ -403,10 +447,17 @@ def rasterize_tiled(
         out_specs=pl.BlockSpec((1, TILE_H, TILE_W),
                                lambda i, s: (s[n_tiles + 2 + i], 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TILE_H * TILE_W, 1), jnp.int32)],
+        # "rows" reduces its (TILE_H, TILE_W, CHUNK) pair tensor over the
+        # lane axis, so the z-buffer scratch keeps the (TILE_H, TILE_W)
+        # layout; the 2D modes reduce (n_pix, CHUNK) over lanes into
+        # (n_pix, 1)
+        scratch_shapes=[pltpu.VMEM(
+            (TILE_H, TILE_W) if edge_mode == "rows" else (TILE_H * TILE_W, 1),
+            jnp.int32)],
     )
-    if edge_mode not in ("vpu", "mxu"):
-        raise ValueError(f"edge_mode must be 'vpu' or 'mxu', got {edge_mode!r}")
+    if edge_mode not in ("rows", "vpu", "mxu"):
+        raise ValueError(
+            f"edge_mode must be 'rows', 'vpu' or 'mxu', got {edge_mode!r}")
     out = pl.pallas_call(
         partial(_raster_kernel, edge_mode=edge_mode, n_tiles=n_tiles,
                 n_l=n_l),

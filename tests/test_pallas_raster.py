@@ -63,9 +63,11 @@ def test_full_mesh_pixel_exact(small_model_dict):
 
 
 def test_edge_mode_mxu_matches_vpu(small_model_dict):
-    """The legacy MXU edge evaluation (K=3 HIGHEST dot_generals) and the
-    VPU broadcast-FMA default must agree pixel-for-pixel — both compute
-    the same f32 sum A*x + B*y + C."""
+    """The legacy MXU edge evaluation (K=3 HIGHEST dot_generals), the
+    VPU broadcast-FMA form, and the hoisted-broadcast "rows" form must
+    agree pixel-for-pixel — all compute the f32 sum A*x + B*y + C (the
+    "rows" association (px*A) + (py*B + C) can only differ inside the
+    1e-12 tie slack, which no SMPL-scale face exercises)."""
     import jax.numpy as jnp
 
     from smpltpu.models import SMPLModel, smpl_forward
@@ -78,13 +80,16 @@ def test_edge_mode_mxu_matches_vpu(small_model_dict):
     faces = np.asarray(model.faces, np.int32)
     mc, bc = pick_cap(verts, faces, FX, FY, CX, CY, H, W)
     outs = {}
-    for mode in ("vpu", "mxu"):
+    for mode in ("vpu", "mxu", "rows"):
         g, c = rasterize_tiled(jnp.asarray(verts), jnp.asarray(faces),
                                FX, FY, CX, CY, H, W, max_chunks=mc,
                                big_cap=bc, interpret=True, edge_mode=mode)
         outs[mode] = (np.asarray(g), np.asarray(c))
-    np.testing.assert_array_equal(outs["vpu"][1], outs["mxu"][1])
-    np.testing.assert_array_equal(outs["vpu"][0], outs["mxu"][0])
+    for mode in ("mxu", "rows"):
+        np.testing.assert_array_equal(outs["vpu"][1], outs[mode][1],
+                                      err_msg=mode)
+        np.testing.assert_array_equal(outs["vpu"][0], outs[mode][0],
+                                      err_msg=mode)
 
 
 def test_span_variants_pixel_exact(small_model_dict):
@@ -112,14 +117,18 @@ def test_span_variants_pixel_exact(small_model_dict):
     for sy, sx in {(2, 2), (4, 2), (4, 4), auto}:
         mc, bc = pick_cap(verts, faces, FX, FY, CX, CY, H, W,
                           span_y=sy, span_x=sx)
-        g, c = rasterize_tiled(jnp.asarray(verts), jnp.asarray(faces),
-                               FX, FY, CX, CY, H, W, max_chunks=mc,
-                               big_cap=bc, interpret=True,
-                               span_y=sy, span_x=sx)
-        np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c),
-                                      err_msg=f"span {sy}x{sx}")
-        np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g),
-                                      err_msg=f"span {sy}x{sx}")
+        # the close-up scene floods the global big-face list, so run the
+        # hoisted "rows" kernel here too — it gates the mode's big-sweep
+        # path (gbody) against the z-buffer reference where it matters
+        for mode in ("vpu", "rows") if (sy, sx) == (2, 2) else ("vpu",):
+            g, c = rasterize_tiled(jnp.asarray(verts), jnp.asarray(faces),
+                                   FX, FY, CX, CY, H, W, max_chunks=mc,
+                                   big_cap=bc, interpret=True,
+                                   span_y=sy, span_x=sx, edge_mode=mode)
+            np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c),
+                                          err_msg=f"span {sy}x{sx} {mode}")
+            np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g),
+                                          err_msg=f"span {sy}x{sx} {mode}")
 
 
 def test_behind_camera_and_backface_culled():
