@@ -44,24 +44,17 @@ def log(*a):
 
 def _enable_compile_cache():
     """Persistent XLA compile cache next to the repo (same directory the
-    graft entry uses): the stage-1/stage-2 programs cost ~30 s to compile
-    cold through the axon tunnel, which makes config sweeps pay a flat
-    compile tax per process. Warm processes reuse the cached executables;
-    the TIMED quantities are all post-compile re-runs, so the cache never
-    touches the measurement. BENCH_COMPILE_CACHE=0 disables."""
+    graft entry uses; shared helper utils/obs.py): warm processes reuse
+    the cached executables; the TIMED quantities are all post-compile
+    re-runs, so the cache never touches the measurement.
+    BENCH_COMPILE_CACHE=0 disables."""
     if os.environ.get("BENCH_COMPILE_CACHE", "1") != "1":
         return
-    import jax
+    from smpltpu.utils.obs import enable_compile_cache
 
-    try:
-        if jax.config.jax_compilation_cache_dir is None:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".xla_cache"))
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # cache is an optimization, never a failure
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".xla_cache"))
 
 
 def main():
@@ -495,7 +488,7 @@ def main():
         #   BENCH_SINGLE_GMM=1      --use-gmm (vendored pose_prior.txt)
         #   BENCH_SINGLE_MULTISTART=1  --multi-start (data-driven init x
         #                              5 yaw/reference starts per frame)
-        #   BENCH_SINGLE_TR=eigh|cholesky|dogleg  LMConfig.tr_solver A/B
+        #   BENCH_SINGLE_TR=chol|eigh|dogleg  LMConfig.tr_solver A/B
         from smpltpu.solve import build_fitter, make_single_frame_problem
         from smpltpu.solve.lm import LMConfig
 
@@ -525,8 +518,11 @@ def main():
         tr_it = int(os.environ.get("BENCH_SINGLE_TR_ITERS", "0"))
         lmcfg = None
         if tr or tr_it:
+            # default to the SHIPPED solver (LMConfig.tr_solver="chol") so
+            # BENCH_SINGLE_TR_ITERS alone sweeps the chol trip cap rather
+            # than silently switching to eigh (which ignores the cap)
             lmcfg = LMConfig(
-                max_iters=100, huber_delta=3.0, tr_solver=tr or "eigh",
+                max_iters=100, huber_delta=3.0, tr_solver=tr or "chol",
                 **({"tr_newton_iters": tr_it} if tr_it else {}))
         # BENCH_SINGLE_CHUNK=N: chunked dispatch (per-chunk convergence
         # exits bound the slowest-frame tail on wide batches)
@@ -562,7 +558,7 @@ def main():
         it_s = float(np.mean(np.asarray(st_s.iters_run)))
         log("bench: " + report(stage_single_frame(
             "single", n_s * s_dim, int(x0_s.shape[-1]), kp_rows, it_s,
-            tr_solver=tr or "eigh"), min(ts)))
+            tr_solver=tr or "chol"), min(ts)))
         log(json.dumps({
             "metric": "single_frame_throughput_frames_per_sec",
             "value": round(fps_s, 1), "unit": "frames/sec",

@@ -127,6 +127,34 @@ def main():
               f"({ch / tf:.0f} fps)  -> kernel ~"
               f"{(tf - t1) * 1e3 / ch:.3f} ms/frame")
 
+        # RP_CHECK=1: pixel-parity of the COMPILED Mosaic kernel against
+        # the independent scatter-min z-buffer, both on the live backend
+        # (the test suite gates interpret mode only; this closes the
+        # compiled-vs-interpret gap on real hardware)
+        if os.environ.get("RP_CHECK", "0") == "1":
+            from smpltpu.render.jax_raster import pick_patch, rasterize_zbuffer
+
+            n_chk = min(int(os.environ.get("RP_CHECK_FRAMES", "8")), ch)
+            patch = max(pick_patch(vfirst[k], np.asarray(model.faces),
+                                   fxr, fyr, cxr, cyr)
+                        for k in range(n_chk))
+
+            @jax.jit
+            def zref(vs):
+                return jax.vmap(lambda v: rasterize_zbuffer(
+                    v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
+                    patch=patch)[0])(vs)
+
+            g_t = np.asarray(full(vj[:n_chk]))
+            g_z = np.asarray(zref(vj[:n_chk]))
+            diff = int(np.sum(g_t != g_z))
+            tot = g_t.size
+            print(f"check[{edge_mode}]: {n_chk} frames, "
+                  f"{diff}/{tot} differing pixels vs z-buffer "
+                  f"({'PIXEL-EXACT' if diff == 0 else 'MISMATCH'})")
+            if diff:
+                raise SystemExit(1)
+
 
 if __name__ == "__main__":
     main()

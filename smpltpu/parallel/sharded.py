@@ -36,6 +36,7 @@ from smpltpu.energy import Camera, SkeletonSpec, keypoint_residuals
 from smpltpu.energy.params import frame_param_layout
 from smpltpu.energy.temporal import temporal_mask
 from smpltpu.solve.lm import _huber_rho
+from smpltpu.utils.chunked import chunked_map
 from smpltpu.solve.multi_frame import (
     MultiFrameConfig,
     MultiFrameResult,
@@ -78,17 +79,7 @@ def sharded_window_fit(mesh: Mesh, fitter, params0, shape0, kp, r0,
     vfit = jax.vmap(lambda a, b, c, d, e: fitter(a, b, c, d, e))
 
     def local_chunked(*local_args):
-        n = local_args[0].shape[0]
-        pad = (-n) % chunk
-        la = local_args
-        if pad:
-            la = tuple(
-                jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-                for x in la)
-        la = tuple(x.reshape((-1, chunk) + x.shape[1:]) for x in la)
-        out = jax.lax.map(lambda xs: vfit(*xs), la)
-        return jax.tree_util.tree_map(
-            lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
+        return chunked_map(vfit, chunk, *local_args)
 
     # check_vma=False: the fitter's while_loop carries start as replicated
     # scalars (converged=False etc.) and become device-varying after one
@@ -124,17 +115,7 @@ def sharded_frame_fit(mesh: Mesh, fitter, x0, kp, axis: str = "frames",
         return fitter(*args)
 
     def local_chunked(lx0, lkp):
-        n = lx0.shape[0]
-        pad = (-n) % chunk
-        la = (lx0, lkp)
-        if pad:
-            la = tuple(
-                jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-                for x in la)
-        la = tuple(x.reshape((-1, chunk) + x.shape[1:]) for x in la)
-        out = jax.lax.map(lambda xs: fitter(*xs), la)
-        return jax.tree_util.tree_map(
-            lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
+        return chunked_map(fitter, chunk, lx0, lkp)
 
     spmd = shard_map(local_chunked, mesh=mesh,
                      in_specs=(P(axis),) * 2, out_specs=P(axis),

@@ -37,9 +37,9 @@ scatter-free two-phase design shaped for the hardware:
 Faces whose bbox spans more than a span_y x span_x tile window
 (span_y*TILE_H px tall x span_x*TILE_W px wide) go to a small global
 list that every tile also walks (their edge tests mask them outside
-their bbox), so nothing is truncated. Per-tile segments beyond the
-static chunk budget are dropped (the budget is auto-sized by pick_cap,
-pow2-bucketed to bound recompiles).
+their bbox), so nothing is truncated — per-tile segments are walked in
+full by the worklist (pick_cap survives only to pow2-bucket big_cap and
+keep call-site signatures stable; its max_chunks output is unused).
 
 The binning window must track resolution: at 270x480 the default 2x2
 window (16 px x 256 px) fits nearly every SMPL face, but at the video1
@@ -537,15 +537,26 @@ def pick_spans(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
     ty0, ty1, tx0, tx1, _, _ = _face_tile_spans(
         verts_cam, faces, fx, fy, cx, cy, height, width)
     n = max(len(ty0), 1)
+
+    def big_fraction(sy, sx):
+        return np.sum((ty1 - ty0 >= sy) | (tx1 - tx0 >= sx)) / n
+
+    # grow GREEDILY along whichever axis shrinks the big list more per
+    # doubling (each doubling costs the same 2x sort entries either way);
+    # growing one axis blindly can never fix a spill on the OTHER axis —
+    # e.g. wide short faces keep (tx1-tx0 >= span_x) true no matter how
+    # large span_y gets, and a y-only loop would inflate sort entries 4x
+    # for nothing. Ties prefer span_y (a y-doubling adds only TILE_H=8
+    # rows of window height vs TILE_W=128 columns).
     span_y, span_x = SPAN, SPAN
-    while span_y < max_span and (
-            np.sum((ty1 - ty0 >= span_y) | (tx1 - tx0 >= span_x)) / n
-            > big_frac):
-        span_y *= 2
-    while span_x < max_span and (
-            np.sum((ty1 - ty0 >= span_y) | (tx1 - tx0 >= span_x)) / n
-            > big_frac):
-        span_x *= 2
+    while ((span_y < max_span or span_x < max_span)
+           and big_fraction(span_y, span_x) > big_frac):
+        f_y = big_fraction(span_y * 2, span_x) if span_y < max_span else np.inf
+        f_x = big_fraction(span_y, span_x * 2) if span_x < max_span else np.inf
+        if f_y <= f_x:
+            span_y *= 2
+        else:
+            span_x *= 2
     return span_y, span_x
 
 

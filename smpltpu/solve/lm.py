@@ -247,8 +247,10 @@ def lm_solve(
         genuine boundary steps pay up to tr_newton_iters. The returned
         boundary step is the last solved iterate p(lam_k) rather than a
         re-solve at the post-update lam — Newton converges monotonically
-        from the infeasible side, so after the default 6 trips |p| is
-        within ~1e-6 relative of the radius (same class of approximation
+        from the infeasible side, so after the tr_newton_iters trip cap
+        (shipped 4, TPU-swept 2026-08-19; at 6 trips |p| is within ~1e-6
+        relative of the radius) the step length is near-exact (same
+        class of approximation
         as the old final-re-solve form, one factorization cheaper; the
         chol==eigh optima test pins the end-to-end equivalence). Under
         vmap the while-cond lifts to "any problem still on the boundary

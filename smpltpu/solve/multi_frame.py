@@ -672,22 +672,12 @@ def build_chunked_window_fit(fitter, chunk_size: int):
     stripped. All five per-window arguments are required (pass an
     all-ones frame_valid if every frame is real).
     """
+    from smpltpu.utils.chunked import chunked_map
+
     vfit = jax.vmap(lambda a, b, c, d, e: fitter(a, b, c, d, e))
 
-    def run(params0, shape0, kp, r0, frame_valid):
-        n = params0.shape[0]
-        pad = (-n) % chunk_size
-        args = (params0, shape0, kp, r0, frame_valid)
-        if pad:
-            args = tuple(
-                jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-                for x in args)
-        args = tuple(x.reshape((-1, chunk_size) + x.shape[1:]) for x in args)
-        out = jax.lax.map(lambda xs: vfit(*xs), args)
-        return jax.tree_util.tree_map(
-            lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
-
-    return jax.jit(run)
+    return jax.jit(lambda params0, shape0, kp, r0, frame_valid: chunked_map(
+        vfit, chunk_size, params0, shape0, kp, r0, frame_valid))
 
 
 _multi_cache: dict = {}

@@ -177,20 +177,10 @@ def build_fitter(prob: SingleFrameProblem, max_iters: int, dtype=jnp.float32,
     if chunk <= 0:
         return jax.jit(vfit)
 
-    def run(x0, kp_dense):
-        n = x0.shape[0]
-        pad = (-n) % chunk
-        args = (x0, kp_dense)
-        if pad:
-            args = tuple(
-                jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
-                for a in args)
-        args = tuple(a.reshape((-1, chunk) + a.shape[1:]) for a in args)
-        out = jax.lax.map(lambda xs: vfit(*xs), args)
-        return jax.tree_util.tree_map(
-            lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
+    from smpltpu.utils.chunked import chunked_map
 
-    return jax.jit(run)
+    return jax.jit(lambda x0, kp_dense: chunked_map(vfit, chunk,
+                                                    x0, kp_dense))
 
 
 _fitter_cache: dict = {}

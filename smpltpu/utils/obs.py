@@ -66,3 +66,22 @@ def profile_trace(out_dir: Optional[str]):
     os.makedirs(out_dir, exist_ok=True)
     with jax.profiler.trace(out_dir):
         yield
+
+
+def enable_compile_cache(cache_dir: str, min_compile_secs: float = 1.0,
+                         ) -> None:
+    """Point JAX's persistent compilation cache at cache_dir (idempotent:
+    a no-op if some cache dir is already configured). Shared by bench.py
+    and __graft_entry__.py — the stage-1/stage-2 programs cost ~30 s to
+    compile cold through the axon tunnel, so every driver entry point
+    wants the same warm cache. Never raises: the cache is an
+    optimization, not a dependency."""
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              min_compile_secs)
+    except Exception:
+        pass

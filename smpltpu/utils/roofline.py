@@ -141,11 +141,16 @@ def stage_raster(name: str, n_frames: int, n_faces: int, n_tiles: int,
     sort = 8.0 * n_entries * max(math.log2(max(n_entries, 2)), 1.0)
     # every tile pays its k=0 step; only segment-covered steps do work —
     # upper bound: all entries touched once + per-tile big sweep ignored
-    kernel = (n_entries / chunk + n_tiles) * (3 * 2.0 * tile_px * chunk)
+    steps = n_entries / chunk + n_tiles
+    kernel = steps * (3 * 2.0 * tile_px * chunk)
     flops = n_frames * (setup + sort + kernel)
     bytes_ = n_frames * (n_entries * 13 * 4.0        # sorted edge gather
                          + n_tiles * tile_px * 4.0)  # z-buffer out
-    return StageCount(name, flops, bytes_, int(n_tiles * max_chunks))
+    # seq_steps mirrors the WORKLIST grid (exact n_blocks + n_tiles
+    # entries, rasterize_tiled); the old dense n_tiles*max_chunks grid no
+    # longer exists, so max_chunks no longer enters the step count
+    del max_chunks
+    return StageCount(name, flops, bytes_, int(steps))
 
 
 def report(stage: StageCount, seconds: float, dispatches: int = 1) -> str:

@@ -59,12 +59,52 @@ def test_entry_is_production_window_solve():
     import __graft_entry__ as g
 
     fn, args = g.entry()
-    params, cost, verts = fn(*args)
+    params, cost, shape, verts = fn(*args)
     assert params.shape == (4, 6, 76)
     assert cost.shape == (4,)
+    assert shape.shape == (4, 10)
     assert verts.shape[0] == 4 and verts.shape[2] == 3
     assert np.isfinite(np.asarray(params)).all()
     assert np.isfinite(np.asarray(cost)).all()
     assert np.isfinite(np.asarray(verts)).all()
     # the fit must actually move the params off the init
     assert float(np.abs(np.asarray(params)).max()) > 0.0
+
+
+def test_entry_verts_use_the_production_pose_decode():
+    """Regression (round-3 review): entry() once hand-rolled the packed
+    params -> rotations decode and built a 23-row tensor (dropping joint
+    1 and never composing the fitted root axis-angle with R0); FK's
+    clamped gather made every joint silently use its neighbor's rotation.
+    Pin: the skinned verts returned by entry() must equal an independent
+    re-skin of the SAME fitted params through the production
+    params_to_pose + smpl_forward path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as g
+    from smpltpu.constants import init_root_rotation
+    from smpltpu.models import SMPLModel, make_synthetic_model, smpl_forward
+    from smpltpu.utils.writeback import params_to_pose
+
+    fn, args = g.entry()
+    params, _cost, shape, verts = fn(*args)
+
+    model = SMPLModel.from_dict(make_synthetic_model(n_verts=1024),
+                                dtype=jnp.float32)
+    r0 = jnp.asarray(np.asarray(init_root_rotation(), np.float32))
+
+    def reskin(p, w):
+        pose = params_to_pose(p, r0, model.num_joints)
+        return smpl_forward(model, w, pose.rotations,
+                            pose.root_pos)["verts"]
+
+    ref = jnp.stack([reskin(params[i, 0], shape[i])
+                     for i in range(params.shape[0])])
+    np.testing.assert_allclose(np.asarray(verts), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # and the fitted root axis-angle must MATTER: re-decoding with the
+    # root aa zeroed must change the verts (the old bug ignored it)
+    p_noroot = params[0, 0].at[1:4].set(0.0)
+    assert not np.allclose(np.asarray(reskin(p_noroot, shape[0])),
+                           np.asarray(ref[0]), atol=1e-4)

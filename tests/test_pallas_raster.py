@@ -131,6 +131,30 @@ def test_span_variants_pixel_exact(small_model_dict):
                                           err_msg=f"span {sy}x{sx} {mode}")
 
 
+def test_pick_spans_grows_the_spilling_axis():
+    """A purely HORIZONTAL spill (wide 300 px, short 8 px faces) must grow
+    span_x, not span_y — growing span_y can never remove an x-axis spill
+    from the big list and would only multiply phase-1 sort entries
+    (the pre-fix code grew span_y to max_span first, 4x entries for
+    nothing)."""
+    from smpltpu.render.pallas_raster import pick_spans
+
+    hh, ww = 128, 1024  # 16 y-tiles x 8 x-tiles
+    rng = np.random.default_rng(3)
+    verts, faces = [], []
+    for i in range(50):
+        x0 = rng.uniform(-1.5, 0.5)
+        y0 = rng.uniform(-0.2, 0.2)
+        verts.extend([[x0, y0, 1.0], [x0 + 1.5, y0, 1.0],
+                      [x0 + 0.75, y0 + 0.04, 1.0]])
+        faces.append([3 * i, 3 * i + 2, 3 * i + 1])
+    sy, sx = pick_spans(np.array(verts, np.float32),
+                        np.array(faces, np.int32),
+                        200.0, 200.0, 512.0, 64.0, hh, ww)
+    assert sy == 2, f"vertical window inflated to {sy} on an x-only spill"
+    assert sx == 4, f"expected the x window to absorb the spill, got {sx}"
+
+
 def test_behind_camera_and_backface_culled():
     verts = np.array([
         [-0.2, -0.2, 2.0], [0.2, -0.2, 2.0], [0.0, 0.3, 2.0],
