@@ -65,9 +65,10 @@ def sharded_window_fit(mesh: Mesh, fitter, params0, shape0, kp, r0,
     cost 945 vs 1617 frames/s on one chip (docs/ROADMAP.md 10k-frame
     entry). Per-window optima are unchanged (converged windows freeze;
     chunked == vmapped pinned bit-tight in f64 by
-    tests/test_parallel.py::test_sharded_window_fit_chunked). The local
-    window count (n_win / mesh) must not be smaller than chunk — chunks
-    pad locally by replicating the last local window."""
+    tests/test_parallel.py::test_sharded_window_fit_chunked). A chunk
+    larger than the local window slice (n_win / mesh) is handled — the
+    chunk pads by replicating the last local window — but wastes the
+    replicated compute; prefer chunk <= n_win / mesh."""
     spec_in = NamedSharding(mesh, P(axis))
     args = [jax.device_put(a, spec_in)
             for a in (params0, shape0, kp, r0, frame_valid)]

