@@ -48,6 +48,7 @@ from smpltpu.utils.image import imread
 USAGE = """usage: python -m smpltpu.pipeline.single <SMPL.npz> <kps_folder> <images_folder> <out_dir>
                    [max_iters=100] [beta_pose=20] [beta_shape=30]
                    [--opt-shape] [--use-gmm] [--mesh N] [--frame-chunk N]
+                   [--multi-start] [--adaptive-start] [--adaptive-thresh PX]
 """
 
 
@@ -66,6 +67,9 @@ def parse_args(argv):
         "jax_render": False, "multi_start": False, "freeze_scale": False,
         "mesh": 0,  # 0 = auto (all visible devices), 1 = single-chip
         "frame_chunk": 0,  # chunked dispatch: per-chunk convergence exits
+        "adaptive_start": False,  # fit once from data-init, multi-start
+                                  # only frames above --adaptive-thresh
+        "adaptive_thresh": 6.0,
     }
     seen_numeric = 0
     rest = list(argv[4:])
@@ -81,6 +85,10 @@ def parse_args(argv):
             opts["jax_render"] = True
         elif a == "--multi-start":  # data-driven init + yaw hypotheses
             opts["multi_start"] = True
+        elif a == "--adaptive-start":  # multi-start only the hard frames
+            opts["adaptive_start"] = True
+        elif a == "--adaptive-thresh" and rest:
+            opts["adaptive_thresh"] = float(rest.pop(0))
         elif a == "--freeze-scale":  # gauge fix: see solve/single_frame.py
             opts["freeze_scale"] = True
         elif a == "--mesh" and rest:  # DP the frame batch over the mesh
@@ -139,6 +147,15 @@ def main(argv=None) -> int:
     kp = ds["kp_batch"]
     n_frames = kp.shape[0]
     dtype = jnp.float32
+
+    if opts["adaptive_start"]:
+        # framework extension: two-phase adaptive multi-start — fit every
+        # frame once from the data-driven init, then multi-start ONLY the
+        # frames whose residual exceeds --adaptive-thresh px
+        # (solve/init.py::fit_adaptive; supersedes --multi-start, which
+        # pays the full starts x frames batch unconditionally)
+        return _main_adaptive(opts, ds, prob, kp, dtype)
+
     if opts["multi_start"]:
         # framework extension (NOT reference behavior): data-driven init
         # (depth/translation from the detections) x root-yaw hypotheses,
@@ -147,7 +164,14 @@ def main(argv=None) -> int:
         # real data (see solve/init.py)
         from smpltpu.solve import make_start_set
         n_extra = model.num_shapes if opts["opt_shape"] else 0
-        starts = make_start_set(kp, prob.spec, cam, n_extra_dims=n_extra)
+        # with a GMM prior, also seed one start per component mean
+        # (SMPLify-style): the hard-assignment energy is piecewise and a
+        # zero-pose start can never switch component basins — see the
+        # pose_seeds note in solve/init.py::make_start_set
+        seeds = (np.asarray(gmm["means"])
+                 if gmm is not None and opts["beta_pose"] > 0.0 else None)
+        starts = make_start_set(kp, prob.spec, cam, n_extra_dims=n_extra,
+                                pose_seeds=seeds)
         s_dim = starts.shape[1]
         x0 = jnp.asarray(starts.reshape(n_frames * s_dim, -1), dtype)
         kp_fit = np.repeat(kp, s_dim, axis=0)
@@ -230,6 +254,77 @@ def main(argv=None) -> int:
         conv = np.asarray(state.converged)
         cost = np.asarray(state.cost)
         hist_src = np.asarray(state.cost_history)
+    return _emit_outputs(opts, ds, model, cam, kp, x_final, conv, cost,
+                         hist_src, per_frame_ms, r0)
+
+
+def _main_adaptive(opts, ds, prob, kp, dtype) -> int:
+    """--adaptive-start solve path (see solve/init.py::fit_adaptive)."""
+    import jax
+
+    from smpltpu.solve import fit_adaptive
+
+    model, cam = ds["model"], ds["cam"]
+    n_frames = kp.shape[0]
+    if opts["multi_start"]:
+        print("[WARN] --adaptive-start supersedes --multi-start",
+              file=sys.stderr)
+    mesh_n = opts["mesh"] if opts["mesh"] > 0 else len(jax.devices())
+    fitter = build_fitter(prob, max_iters=opts["max_iters"], dtype=dtype,
+                          chunk=0 if mesh_n > 1 else opts["frame_chunk"])
+    if mesh_n > 1:
+        # same DP surface as the plain path; the phase batches have
+        # data-dependent widths, so pad each call to a mesh multiple with
+        # all-invalid rows (converge instantly to their init) and strip
+        from smpltpu.parallel import frames_mesh, sharded_frame_fit
+        mesh = frames_mesh(mesh_n)
+        base_fitter = fitter
+
+        def fitter(x0_b, kp_b):
+            n = int(x0_b.shape[0])
+            pad = (-n) % mesh_n
+            if pad:
+                x0_b = jnp.concatenate([x0_b,
+                                        jnp.tile(x0_b[-1:], (pad, 1))])
+                kp_b = jnp.concatenate(
+                    [kp_b, jnp.zeros((pad,) + kp_b.shape[1:], kp_b.dtype)])
+            st = sharded_frame_fit(mesh, base_fitter, x0_b, kp_b,
+                                   chunk=opts["frame_chunk"])
+            if pad:
+                st = jax.tree_util.tree_map(lambda a: a[:n], st)
+            return st
+    print(f"[INFO] devices visible: {len(jax.devices())}  mesh size: "
+          f"{mesh_n}")
+
+    timer = StageTimer()
+    res = fit_adaptive(prob, kp, opts["max_iters"],
+                       px_thresh=opts["adaptive_thresh"],
+                       fitter=fitter, dtype=dtype)
+    first_ms = timer.ms()
+    # re-run the (deterministic) solve so the logged time excludes the
+    # one-off XLA compiles, matching the reference's ceres::Solve-only
+    # timer (src/main_single_frame.cpp:234-249)
+    timer = StageTimer()
+    res = fit_adaptive(prob, kp, opts["max_iters"],
+                       px_thresh=opts["adaptive_thresh"],
+                       fitter=fitter, dtype=dtype)
+    total_ms = timer.ms()
+    print(f"[INFO] adaptive solve: {total_ms:.1f} ms for {n_frames} frames "
+          f"({res.hard_idx.size} above {opts['adaptive_thresh']:.1f}px "
+          f"multi-started, {int(res.escalated.sum())} improved; "
+          f"+{first_ms - total_ms:.0f} ms one-off compile)")
+    per_frame_ms = total_ms / max(n_frames, 1)
+    r0 = np.asarray(init_root_rotation())
+    return _emit_outputs(opts, ds, model, cam, kp, res.x, res.converged,
+                         res.cost, res.cost_history, per_frame_ms, r0)
+
+
+def _emit_outputs(opts, ds, model, cam, kp, x_final, conv, cost, hist_src,
+                  per_frame_ms, r0) -> int:
+    """Shared output tail: per-frame eval, renders, log.csv, params npz,
+    loss_curve.txt (both the plain/multi-start and adaptive solve paths
+    land here)."""
+    n_frames = kp.shape[0]
     params = x_final[:, :N_FRAME_PARAMS]
     shapes = (x_final[:, N_FRAME_PARAMS:] if opts["opt_shape"]
               else np.zeros((n_frames, model.num_shapes)))

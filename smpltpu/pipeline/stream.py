@@ -19,6 +19,14 @@ the whole frame chain runs inside one lax.scan dispatch — no host
 round-trip between frames, so the reported per-frame number is amortized
 throughput (the on-chip serving bound) instead of live dispatch latency.
 
+``--pump`` switches the live stream to the DEVICE-RESIDENT REQUEST PUMP
+(solve/online.OnlinePump): one persistent dispatch runs the filter as a
+lax.while_loop, each frame fed and its params returned through ordered
+io_callbacks — true per-frame serving latency WITHOUT the per-dispatch
+executable-launch cost the plain loop pays (~28 ms through the axon
+tunnel). Results are identical to the per-dispatch loop
+(tests/test_online.py::test_pump_matches_step).
+
 Numeric optionals are consumed in order (max_iters, beta_pose, lambda_t),
 interleaved with flags — same hand-rolled parser family as the reference
 mains. Outputs: out_dir/log.csv (reference schema, time_ms = that frame's
@@ -50,7 +58,7 @@ USAGE = """usage: python -m smpltpu.pipeline.stream <SMPL.npz> <kps_folder> <ima
                    [max_iters=20] [beta_pose=5] [lambda_t=3]
                    [--calib N] [--use-gmm] [--pose-prior <txt>]
                    [--render] [--jax-render] [--free-scale] [--scan]
-                   [--warm-timing]
+                   [--pump] [--warm-timing]
 """
 
 
@@ -66,7 +74,7 @@ def parse_args(argv):
         "max_iters": 20, "beta_pose": 5.0, "lambda_t": 3.0,
         "calib": 10, "use_gmm": False, "pose_prior": None,
         "render": False, "jax_render": False, "freeze_scale": True,
-        "scan": False, "warm_timing": False,
+        "scan": False, "pump": False, "warm_timing": False,
     }
     seen_numeric = 0
     rest = list(argv[4:])
@@ -88,6 +96,8 @@ def parse_args(argv):
             opts["freeze_scale"] = False
         elif a == "--scan":
             opts["scan"] = True
+        elif a == "--pump":
+            opts["pump"] = True
         elif a == "--warm-timing":
             # re-run the compiled scan once more purely so log.csv's
             # time_ms reports the warm (compile-excluded) solve time —
@@ -184,7 +194,37 @@ def main(argv=None) -> int:
               "compile+first); locked for the stream")
 
     # ---- the stream ----
-    if opts["scan"] and start_at < n_frames:
+    if opts["pump"] and start_at < n_frames:
+        # device-resident request pump: one persistent dispatch, frames
+        # fed / params returned through ordered io_callbacks. Warm-up: run
+        # the SAME pump instance once with a sacrificial frame and stop it
+        # (start() is re-callable; the jitted program is compiled on the
+        # first run, so the restarted dispatch launches from the
+        # executable cache) — then restart it from the real fitter state
+        # so the measured latencies are compile-free.
+        pump = fitter.make_pump()
+        timer = StageTimer()
+        pump.start(fitter.prev, fitter.shape, fitter.has_prev)
+        pump.submit(kp[valid_idx[0]])
+        pump.stop()
+        print(f"[INFO] pump compiled+first round-trip in {timer.ms():.0f} ms")
+        pump.start(fitter.prev, fitter.shape, fitter.has_prev)
+        for i in range(start_at, n_frames):
+            timer = StageTimer()
+            x_i, _cost, _iters, solved = pump.submit(kp[i])
+            dt = timer.ms()
+            params[i] = x_i
+            if not solved:
+                print(f"Frame {i} has no valid keypoints; skipping.",
+                      file=sys.stderr)
+                continue
+            time_ms[i] = dt
+            emitted[i] = True
+            latencies.append(dt)
+        pump.stop()
+        fitter.prev = jnp.asarray(pump.prev, fitter.dtype)
+        fitter.has_prev = pump.has_prev
+    elif opts["scan"] and start_at < n_frames:
         # causal replay: identical recursion, whole chain in one dispatch.
         # Per-frame time_ms becomes the AMORTIZED solve time (compile and
         # the first run excluded, same contract as the loop path's warm-up)

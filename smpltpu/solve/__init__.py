@@ -3,8 +3,11 @@ include/Sim3BA.h:348-683 and include/MultiFrameBA.h:33-177), rebuilt as a
 batched on-device Levenberg-Marquardt engine."""
 
 from smpltpu.solve.init import (  # noqa: F401
+    AdaptiveResult,
     best_of_starts,
+    build_px_eval,
     estimate_frame_init,
+    fit_adaptive,
     make_start_set,
 )
 from smpltpu.solve.lm import LMConfig, LMState, lm_solve  # noqa: F401
@@ -18,6 +21,7 @@ from smpltpu.solve.multi_frame import (  # noqa: F401
 from smpltpu.solve.online import (  # noqa: F401
     OnlineConfig,
     OnlineFitter,
+    OnlinePump,
     build_online_scan,
     build_online_step,
 )

@@ -90,9 +90,22 @@ def make_start_set(
     yaws=(0.0, np.pi / 2, -np.pi / 2, np.pi),
     include_reference_init: bool = True,
     n_extra_dims: int = 0,   # append zeros (e.g. shape block) per start
+    pose_seeds: np.ndarray = None,   # (S_extra, 3*(nJ-1)) joint-AA seeds
 ) -> np.ndarray:
     """(F, S, P[+extra]) start set: data-driven init x yaw hypotheses
-    [+ the reference's blind init as one more start]."""
+    [+ the reference's blind init as one more start].
+
+    ``pose_seeds``: extra starts with the data-driven root but the given
+    joint angle-axes — pass the GMM prior's component means for
+    SMPLify-style prior-seeded multi-start. Needed because the
+    hard-assignment GMM energy (Sim3BA.h:275-284) is piecewise: each
+    component owns a basin, the solver can never switch basins from a
+    zero-pose init (the data term cannot outpull beta^2 * precision), and
+    at the CLI-default beta_pose=20 the component constants c_k dominate —
+    only poses near the argmin-c_k component are globally recoverable at
+    all (measured round 4: GT at a non-dominant mode fits 17-46 px WORSE
+    in ITS OWN basin than parked in the dominant one; the objective
+    genuinely prefers the latter, Ceres included)."""
     rest = rest_joints_cam(spec)
     n_j = len(spec.parents)
     p_dim = frame_param_layout(n_j)["total"]
@@ -106,12 +119,163 @@ def make_start_set(
             row.append(v)
         if include_reference_init:
             row.append(np.asarray(init_frame_params(n_j, dtype=np.float64)))
+        if pose_seeds is not None:
+            for seed in np.asarray(pose_seeds, np.float64):
+                v = base.copy()
+                v[7:p_dim] = seed
+                row.append(v)
         starts.append(np.stack(row))
     out = np.stack(starts)                      # (F, S, P)
     if n_extra_dims > 0:
         out = np.concatenate(
             [out, np.zeros(out.shape[:2] + (n_extra_dims,))], axis=-1)
     return out
+
+
+def build_px_eval(prob, dtype=None):
+    """Jitted fn(x (F, P[+nS]), kp (F, K, 4)) -> (F,) mean pixel error
+    over each frame's valid keypoints (0.0 for empty frames) under the
+    SOLVER's forward — fitted scale included, unlike the reference's
+    scale-discarding log.csv metric (Utils.h:102-116) which is a render
+    write-back quirk, not a fit-quality measure. Used by fit_adaptive to
+    pick the frames worth multi-starting."""
+    import jax
+    import jax.numpy as jnp
+
+    from smpltpu.energy import skeleton_joints_cam
+    from smpltpu.energy.reproj import project
+
+    lay = frame_param_layout(len(prob.spec.parents))
+    p = lay["total"]
+
+    def one(x, kp):
+        params = x[:p]
+        shape = (x[p:] if prob.opt_shape
+                 else jnp.zeros(prob.n_shapes, x.dtype))
+        uv = project(skeleton_joints_cam(params, shape, prob.spec), prob.cam)
+        jid = kp[:, 0].astype(jnp.int32)
+        d = jnp.linalg.norm(uv[jid] - kp[:, 1:3], axis=-1)
+        v = kp[:, 3]
+        return jnp.sum(d * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+    return jax.jit(jax.vmap(one))
+
+
+class AdaptiveResult:
+    """fit_adaptive output: per-frame best params/cost/pixel error, which
+    frames were escalated, and the cost history of each frame's selected
+    solve (for loss_curve.txt)."""
+
+    def __init__(self, x, cost, px, converged, iters_run, cost_history,
+                 hard_idx, escalated):
+        self.x = x                      # (F, P[+nS]) np
+        self.cost = cost                # (F,) np
+        self.px = px                    # (F,) np mean pixel error
+        self.converged = converged     # (F,) np bool
+        self.iters_run = iters_run     # (F,) np
+        self.cost_history = cost_history  # (F, H) np
+        self.hard_idx = hard_idx        # (n_hard,) frames escalated
+        self.escalated = escalated      # (F,) bool: multi-start result kept
+
+
+def fit_adaptive(
+    prob,
+    kp_batch: np.ndarray,     # (F, K, 4)
+    max_iters: int,
+    px_thresh: float = 6.0,
+    chunk: int = 0,
+    lm_cfg=None,
+    dtype=None,
+    yaws=(np.pi / 2, -np.pi / 2, np.pi),
+    fitter=None,
+):
+    """Adaptive multi-start single-frame fitting (two phases, batched):
+
+    1. fit EVERY frame once from the data-driven init (the cheapest start,
+       ``estimate_frame_init``);
+    2. multi-start ONLY the frames whose phase-1 mean pixel error exceeds
+       ``px_thresh`` — a second (much smaller) batched solve over the
+       remaining start hypotheses (the extra ``yaws`` around the data
+       init + the reference's blind init, i.e. exactly the starts
+       ``make_start_set`` would have added), keeping each hard frame's
+       lowest-cost result across ALL its starts.
+
+    The full ``--multi-start`` path fits F x 5 solves to fix the few
+    frames the blind init loses (src/main_single_frame.cpp:208-224); this
+    pays the 5x only where phase 1 demonstrably failed. A frame phase 1
+    got under the threshold keeps its (possibly improvable) basin — the
+    quality target is the MEAN error, and the measured gap vs always-on
+    multi-start is well inside it (see BASELINE.md round-4 row).
+
+    ``fitter``: pass a prebuilt/preshared build_fitter result to reuse its
+    compile cache; default builds one with (max_iters, lm_cfg, chunk).
+    Returns :class:`AdaptiveResult` (numpy)."""
+    import jax.numpy as jnp
+
+    from smpltpu.solve.single_frame import build_fitter
+
+    dtype = jnp.float32 if dtype is None else dtype
+    kp_batch = np.asarray(kp_batch)
+    f_dim = kp_batch.shape[0]
+    n_j = len(prob.spec.parents)
+    n_extra = prob.n_shapes if prob.opt_shape else 0
+    rest = rest_joints_cam(prob.spec)
+
+    x0 = np.stack([estimate_frame_init(kp_batch[f], rest, prob.cam,
+                                       n_joints=n_j)
+                   for f in range(f_dim)])
+    if n_extra:
+        x0 = np.concatenate([x0, np.zeros((f_dim, n_extra))], axis=-1)
+
+    if fitter is None:
+        fitter = build_fitter(prob, max_iters=max_iters, dtype=dtype,
+                              lm_cfg=lm_cfg, chunk=chunk)
+    px_eval = build_px_eval(prob)
+
+    kp_j = jnp.asarray(kp_batch, dtype)
+    st_a = fitter(jnp.asarray(x0, dtype), kp_j)
+    px_a = np.asarray(px_eval(st_a.x, kp_j))
+
+    # np.array (copy): np.asarray of a jax.Array is a read-only view and
+    # the phase-2 escalation writes into these
+    x = np.array(st_a.x)
+    cost = np.array(st_a.cost)
+    conv = np.array(st_a.converged)
+    iters = np.array(st_a.iters_run)
+    hist = np.array(st_a.cost_history)
+    px = px_a.copy()
+    escalated = np.zeros(f_dim, bool)
+
+    hard = np.nonzero(px_a > px_thresh)[0]
+    if hard.size:
+        # with a GMM prior, escalation also seeds each component mean
+        # (see make_start_set.pose_seeds)
+        seeds = (np.asarray(prob.gmm.means, np.float64)
+                 if getattr(prob, "gmm", None) is not None else None)
+        s_dim = len(yaws) + 1 + (0 if seeds is None else len(seeds))
+        starts = make_start_set(kp_batch[hard], prob.spec, prob.cam,
+                                yaws=tuple(yaws),
+                                include_reference_init=True,
+                                n_extra_dims=n_extra, pose_seeds=seeds)
+        xb0 = jnp.asarray(starts.reshape(hard.size * s_dim, -1), dtype)
+        kp_b = jnp.asarray(np.repeat(kp_batch[hard], s_dim, axis=0), dtype)
+        st_b = fitter(xb0, kp_b)
+        px_b = np.asarray(px_eval(st_b.x, kp_b)).reshape(hard.size, s_dim)
+        cost_b = np.asarray(st_b.cost).reshape(hard.size, s_dim)
+        best = np.argmin(cost_b, axis=1)
+        rows = np.arange(hard.size)
+        better = cost_b[rows, best] < cost[hard]
+        sel = hard[better]
+        flat = rows[better] * s_dim + best[better]
+        x[sel] = np.asarray(st_b.x)[flat]
+        cost[sel] = cost_b[rows[better], best[better]]
+        px[sel] = px_b[rows[better], best[better]]
+        conv[sel] = np.asarray(st_b.converged)[flat]
+        iters[sel] = np.asarray(st_b.iters_run)[flat]
+        hist[sel] = np.asarray(st_b.cost_history)[flat]
+        escalated[sel] = True
+
+    return AdaptiveResult(x, cost, px, conv, iters, hist, hard, escalated)
 
 
 def best_of_starts(states, f_dim: int, s_dim: int):

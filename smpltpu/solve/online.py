@@ -187,6 +187,154 @@ def build_online_scan(
     return jax.jit(scan_fit)
 
 
+class OnlinePump:
+    """Device-resident request pump: the causal per-frame filter runs as
+    ONE persistent dispatch, with keypoint frames fed from the host and
+    fitted params streamed back through ordered ``io_callback``s.
+
+    Why: the per-dispatch serving path (OnlineFitter.step) pays the full
+    dispatch cost per frame — ~28 ms through the axon tunnel, where the
+    dominant term is launching a new executable per request. Here ONE
+    ``lax.while_loop`` program stays resident on the device; each
+    iteration (a) pulls the next request from a host queue (ordered
+    io_callback — BLOCKS device-side until a request arrives, which is
+    exactly the serving idle state), (b) runs the identical warm-started
+    LM step as OnlineFitter.step (same ``build_online_step`` recursion,
+    pinned equal by tests/test_online.py::test_pump_matches_step), and
+    (c) pushes the fitted params back. Per-frame cost = solve + two host
+    round-trips, no executable launch, no argument staging.
+
+    Empty frames (no valid detections) hold the previous pose in-graph
+    via ``lax.cond`` — the same semantics as build_online_scan's hold
+    branch. ``submit(None)``-style shutdown: ``stop()`` enqueues a
+    sentinel; the device loop exits and the dispatch completes.
+
+    The reference has no serving mode at all (it preloads the finished
+    video, src/main_multi_frame.cpp:72-77) — this is the framework's
+    serving extension, measured (BENCH_STREAM_PUMP=1) instead of
+    projected (docs/SERVING.md round-3 design note)."""
+
+    def __init__(
+        self,
+        spec: SkeletonSpec,
+        cam: Camera,
+        cfg: OnlineConfig,
+        n_joints: int,
+        n_kp_slots: int,
+        gmm: Optional[GMMPrior] = None,
+        dtype=jnp.float32,
+    ):
+        import queue
+
+        self.dtype = dtype
+        self.n_kp_slots = int(n_kp_slots)
+        self._req: "queue.Queue" = queue.Queue()
+        self._res: "queue.Queue" = queue.Queue()
+        self._thread = None
+        self._exc = None
+        step = build_online_step(spec, cam, cfg, n_joints, gmm=gmm,
+                                 dtype=dtype, jit=False)
+        p_dim = frame_param_layout(n_joints)["total"]
+
+        kp_struct = jax.ShapeDtypeStruct((self.n_kp_slots, 4), dtype)
+        stop_struct = jax.ShapeDtypeStruct((), jnp.int32)
+
+        def _fetch():
+            item = self._req.get()
+            if item is None:
+                return (np.zeros((self.n_kp_slots, 4),
+                                 jnp.dtype(dtype).name),
+                        np.int32(1))
+            return np.asarray(item, jnp.dtype(dtype).name), np.int32(0)
+
+        def _push(x, cost, iters, solved, stop):
+            if int(stop) == 0:
+                self._res.put((np.asarray(x), float(cost), int(iters),
+                               bool(solved)))
+
+        from jax.experimental import io_callback
+
+        def run(x0, shape, has_prev0):
+            def cond(c):
+                return c[2] == 0
+
+            def body(c):
+                prev, has_prev, _ = c
+                kp, stop = io_callback(_fetch, (kp_struct, stop_struct),
+                                       ordered=True)
+
+                def do(_):
+                    r = step(prev, shape, kp, prev, has_prev)
+                    return (r.x, jnp.asarray(1.0, dtype),
+                            r.cost.astype(dtype),
+                            r.iters_run.astype(jnp.int32),
+                            jnp.asarray(True))
+
+                def hold(_):
+                    return (prev, has_prev, jnp.asarray(0.0, dtype),
+                            jnp.asarray(0, jnp.int32), jnp.asarray(False))
+
+                valid = (stop == 0) & (jnp.sum(kp[:, 3]) > 0.0)
+                x, has2, cost, iters, solved = jax.lax.cond(
+                    valid, do, hold, None)
+                io_callback(_push, None, x, cost, iters, solved, stop,
+                            ordered=True)
+                return (x, has2, stop)
+
+            x, has, _ = jax.lax.while_loop(
+                cond, body,
+                (x0.astype(dtype), jnp.asarray(has_prev0, dtype),
+                 jnp.asarray(0, jnp.int32)))
+            return x, has
+
+        self._run = jax.jit(run)
+        self._p_dim = p_dim
+        self.prev = None
+        self.has_prev = 0.0
+
+    def start(self, x0, shape, has_prev: float = 0.0):
+        """Launch the persistent dispatch (returns immediately; the device
+        loop blocks on the request queue)."""
+        import threading
+
+        x0 = jnp.asarray(x0, self.dtype)
+        shape = jnp.asarray(shape, self.dtype)
+
+        def _worker():
+            try:
+                out = self._run(x0, shape, has_prev)
+                self.prev = np.asarray(out[0])
+                self.has_prev = float(out[1])
+            except BaseException as e:  # surfaced by submit()/stop()
+                self._exc = e
+                self._res.put(None)
+
+        self._thread = threading.Thread(target=_worker, daemon=True)
+        self._thread.start()
+        return self
+
+    def submit(self, kp_dense, timeout: float = 300.0):
+        """Feed one (K, 4) frame; block for its result. Returns
+        (params (P,) np, cost, iters, solved) — solved=False means the
+        frame had no valid detections and the pose held."""
+        if self._thread is None:
+            raise RuntimeError("pump not started")
+        self._req.put(np.asarray(kp_dense))
+        out = self._res.get(timeout=timeout)
+        if out is None:
+            raise RuntimeError("pump dispatch failed") from self._exc
+        return out
+
+    def stop(self, timeout: float = 300.0):
+        """Shut the device loop down and join the dispatch."""
+        if self._thread is not None:
+            self._req.put(None)
+            self._thread.join(timeout=timeout)
+            self._thread = None
+        if self._exc is not None:
+            raise RuntimeError("pump dispatch failed") from self._exc
+
+
 class OnlineFitter:
     """Stateful causal fitter over an incoming keypoint stream.
 
@@ -296,6 +444,18 @@ class OnlineFitter:
                 self.has_prev = 1.0
         return (xs_np, solved_np, np.asarray(costs), np.asarray(iters),
                 np.asarray(conv))
+
+    def make_pump(self, n_kp_slots: Optional[int] = None) -> OnlinePump:
+        """Create a device-resident request pump (OnlinePump) running the
+        SAME per-frame recursion as step(), seeded from this fitter's
+        current state when started with ``pump.start(fit.prev, fit.shape,
+        fit.has_prev)``."""
+        if n_kp_slots is None:
+            from smpltpu.constants import N_KP_SLOTS
+            n_kp_slots = N_KP_SLOTS
+        return OnlinePump(self.spec, self.cam, self.cfg,
+                          self.model.num_joints, n_kp_slots,
+                          gmm=self._gmm, dtype=self.dtype)
 
     def step(self, kp_dense: np.ndarray):
         """Fit one frame. Returns (params (P,) np, LMResult-or-None);

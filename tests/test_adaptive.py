@@ -1,0 +1,122 @@
+"""Adaptive multi-start (solve/init.py::fit_adaptive): fit every frame
+once from the data-driven init, escalate only frames whose residual
+exceeds the pixel threshold to the remaining yaw/reference starts.
+
+Pins (a) hard frames get recovered (back-facing strongly-articulated GT
+poses that the yaw-0 data init cannot reach within the iteration
+budget — on clean full-visibility synthetic detections the exact-TR
+solver escapes every cold basin given enough iterations, so the hardness
+lever here is a SMALL max_iters: phase A from yaw 0 cannot cross to the
+yaw-pi pose in 12 iterations, while phase B's yaw-pi start converges
+immediately; measured split 3.4-10.9 px phase A vs 0.4-1.5 px
+multi-start), (b) the escalated frames' optima equal the FULL
+``--multi-start`` best over the same start set (phase A's yaw-0 start +
+phase B's yaws + reference init == make_start_set's default set), and
+(c) the adaptive result never regresses a phase-A optimum.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smpltpu.constants import N_KP_SLOTS, USE_SMPL, init_root_rotation
+from smpltpu.energy import skeleton_joints_cam
+from smpltpu.energy.params import init_frame_params
+from smpltpu.energy.reproj import project
+from smpltpu.models import SMPLModel, make_synthetic_model
+from smpltpu.solve import (
+    best_of_starts,
+    build_fitter,
+    build_px_eval,
+    fit_adaptive,
+    make_single_frame_problem,
+    make_start_set,
+)
+from smpltpu.utils import default_intrinsics
+
+F_DIM = 8
+HARD = (5, 6, 7)   # back-facing frames the yaw-0 init loses
+ITERS = 12         # the hardness lever — see module docstring
+THRESH = 3.0
+
+
+@pytest.fixture(scope="module")
+def rig():
+    import jax
+
+    model = SMPLModel.from_dict(make_synthetic_model(), dtype=jnp.float64)
+    cam = default_intrinsics(720, 1280)
+    prob = make_single_frame_problem(
+        model, init_root_rotation(), cam, beta_pose=0.0, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    gt = np.tile(np.asarray(init_frame_params(dtype=jnp.float64)), (F_DIM, 1))
+    gt[:, 7:] = rng.normal(size=(F_DIM, 69)) * 0.15
+    gt[:, 4:6] = rng.normal(size=(F_DIM, 2)) * 0.1
+    gt[:, 6] = 3.0
+    for f in HARD:
+        gt[f, 1:4] = (0.0, np.pi * 0.95, 0.0)   # ~back-facing root
+        gt[f, 7:] = rng.normal(size=69) * 0.4   # strongly articulated
+    uv = np.asarray(jax.jit(jax.vmap(
+        lambda p: project(skeleton_joints_cam(
+            p, jnp.zeros(10, jnp.float64), prob.spec), cam)))(
+                jnp.asarray(gt)))
+    kp = np.zeros((F_DIM, N_KP_SLOTS, 4))
+    kp[:, :, 0] = USE_SMPL
+    kp[:, :, 1:3] = uv[:, USE_SMPL]
+    kp[:, :, 3] = 1.0
+    return prob, kp, gt
+
+
+def test_px_eval_zero_at_ground_truth(rig):
+    prob, kp, gt = rig
+    # px_eval of the exact GT params must be ~0 (the kp were projected
+    # from them)
+    px = np.asarray(build_px_eval(prob)(jnp.asarray(gt), jnp.asarray(kp)))
+    np.testing.assert_allclose(px, 0.0, atol=1e-8)
+
+
+def test_fit_adaptive_recovers_hard_frames(rig):
+    prob, kp, _ = rig
+    fitter = build_fitter(prob, max_iters=ITERS, dtype=jnp.float64)
+    res = fit_adaptive(prob, kp, ITERS, px_thresh=THRESH, fitter=fitter,
+                       dtype=jnp.float64)
+
+    # the back-facing frames must have been flagged hard and recovered
+    assert set(HARD).issubset(set(res.hard_idx.tolist()))
+    assert res.px.mean() < 2.0, res.px
+    assert res.px[list(HARD)].max() < THRESH, res.px[list(HARD)]
+
+    # (c) never regress phase A: each frame's final cost <= its phase-A
+    # (data-init) cost
+    from smpltpu.solve.init import estimate_frame_init, rest_joints_cam
+    rest = rest_joints_cam(prob.spec)
+    x0 = np.stack([estimate_frame_init(kp[f], rest, prob.cam)
+                   for f in range(F_DIM)])
+    st_a = fitter(jnp.asarray(x0), jnp.asarray(kp))
+    # the workload is genuinely hard: phase A alone is bad on HARD frames
+    px_a = np.asarray(build_px_eval(prob)(st_a.x, jnp.asarray(kp)))
+    assert px_a[list(HARD)].min() > THRESH, px_a
+    assert np.all(res.cost <= np.asarray(st_a.cost) + 1e-9)
+
+    # (b) on escalated frames the adaptive optimum == the full
+    # multi-start best over the same start set (phase A yaw 0 + phase B
+    # yaws/reference = make_start_set's default 5)
+    starts = make_start_set(kp, prob.spec, prob.cam)
+    s_dim = starts.shape[1]
+    st_full = fitter(jnp.asarray(starts.reshape(F_DIM * s_dim, -1)),
+                     jnp.asarray(np.repeat(kp, s_dim, axis=0)))
+    _, full_cost, _ = best_of_starts(st_full, F_DIM, s_dim)
+    esc = np.nonzero(res.escalated)[0]
+    assert esc.size > 0
+    np.testing.assert_allclose(res.cost[esc], full_cost[esc],
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_fit_adaptive_no_hard_frames_short_circuits(rig):
+    prob, kp, _ = rig
+    fitter = build_fitter(prob, max_iters=ITERS, dtype=jnp.float64)
+    # a huge threshold: nothing escalates, result == the phase-A fit
+    res = fit_adaptive(prob, kp, ITERS, px_thresh=1e9, fitter=fitter,
+                       dtype=jnp.float64)
+    assert res.hard_idx.size == 0
+    assert not res.escalated.any()
