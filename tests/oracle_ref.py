@@ -301,6 +301,76 @@ def single_frame_cost(prob, x, w, kp_dense, beta_pose=0.0, beta_shape=0.0,
     return 0.5 * float(r @ r)
 
 
+def online_frame_cost(prob, x, shape, kp_dense, prev, has_prev: float,
+                      beta_pose: float, lambda_t: float,
+                      gmm: OracleGMM | None = None) -> float:
+    """Scalar objective of one STREAMING frame (solve/online.py): the
+    single-frame pose-only objective plus the temporal tether
+    ``lambda_t * has_prev * tmask * (x - prev)`` — one row of the
+    multi-frame stencil (MultiFrameBA.h:121-142) with the earlier frame
+    frozen. Evaluable at any point (certificate use)."""
+    parts = [prob.kp_blocks(x, shape, kp_dense).ravel()]
+    if beta_pose > 0.0:
+        parts.append(gmm.residual(x[7:], beta_pose) if gmm is not None
+                     else beta_pose * x[7:])
+    tmask = _temporal_mask(prob.n_joints)
+    parts.append(lambda_t * has_prev * tmask
+                 * (np.asarray(x, np.float64) - np.asarray(prev, np.float64)))
+    r = np.concatenate(parts)
+    return 0.5 * float(r @ r)
+
+
+def fit_online_frame(
+    prob: OracleProblem,
+    kp_dense: np.ndarray,
+    x0: np.ndarray,
+    prev: np.ndarray,
+    has_prev: float,
+    shape=None,
+    beta_pose: float = 0.0,
+    lambda_t: float = 0.0,
+    frozen_joints=(),
+    freeze_scale: bool = True,
+    gmm: OracleGMM | None = None,
+    max_nfev: int = 40000,
+) -> np.ndarray:
+    """Reference-objective solve of one streaming frame (the objective of
+    online_frame_cost; shape is constant data). Returns x_opt (76,)."""
+    x_full = np.asarray(x0, np.float64).copy()
+    prev = np.asarray(prev, np.float64)
+    tmask = _temporal_mask(prob.n_joints)
+
+    frozen = np.zeros(76, bool)
+    if freeze_scale:
+        frozen[0] = True
+    for j in frozen_joints:
+        frozen[7 + 3 * (j - 1): 7 + 3 * j] = True
+    free = ~frozen
+    lo = np.full(76, -np.inf)
+    hi = np.full(76, np.inf)
+    lo[0], hi[0] = SCALE_MIN, SCALE_MAX
+
+    def unpack(z):
+        full = x_full.copy()
+        full[free] = z
+        return full
+
+    def fun(z):
+        x = unpack(z)
+        parts = [prob.kp_blocks(x, shape, kp_dense).ravel()]
+        if beta_pose > 0.0:
+            parts.append(gmm.residual(x[7:], beta_pose) if gmm is not None
+                         else beta_pose * x[7:])
+        parts.append(lambda_t * has_prev * tmask * (x - prev))
+        return np.concatenate(parts)
+
+    res = least_squares(fun, x_full[free], method="trf",
+                        bounds=(lo[free], hi[free]),
+                        ftol=1e-12, xtol=1e-12, gtol=1e-12,
+                        max_nfev=max_nfev)
+    return unpack(res.x)
+
+
 def multi_frame_cost(prob, xs, w, kp_batch, r0_batch, beta_pose, beta_shape,
                      lambda_t) -> float:
     """Scalar objective of fit_multi_frame at any point."""

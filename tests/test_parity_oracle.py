@@ -300,6 +300,59 @@ def test_multi_frame_window_certificate(rig):
 
 
 @needs_fixture
+def test_online_frame_certificate(rig):
+    """Streaming fixed point (VERDICT r3 #6): a streamed frame's optimum
+    — the single-frame objective plus the temporal tether to the previous
+    streamed optimum (solve/online.py) — is a genuine optimum of the same
+    objective independently formulated: scipy polish started AT it (the
+    tether row included, previous frame frozen exactly as the filter
+    freezes it) improves the cost < 1%. Complements the replay==step
+    equivalence tests with an INDEPENDENT-oracle certificate, like every
+    offline surface has."""
+    from smpltpu.solve import OnlineConfig, build_online_step
+
+    md, model, cam, r0, kp = (rig["md"], rig["model"], rig["cam"],
+                              rig["r0"], rig["kp"])
+    ocfg = OnlineConfig(beta_pose=2.0, lambda_temporal=3.0, max_iters=150)
+    spec = make_skeleton_spec(model, r0, with_shape=True)
+    step = build_online_step(spec, cam, ocfg, model.num_joints,
+                             dtype=jnp.float64)
+    shape = jnp.zeros(model.num_shapes, jnp.float64)
+
+    # frame 4 cold (has_prev=0), frame 5 tethered to frame 4's optimum —
+    # the filter recursion exactly as OnlineFitter.step runs it
+    x_init = init_frame_params(dtype=jnp.float64)
+    r4 = step(x_init, shape, jnp.asarray(kp[4]), x_init,
+              jnp.asarray(0.0, jnp.float64))
+    r5 = step(r4.x, shape, jnp.asarray(kp[5]), r4.x,
+              jnp.asarray(1.0, jnp.float64))
+    x4 = np.asarray(r4.x)
+    x5 = np.asarray(r5.x)
+
+    prob_o = ORC.OracleProblem(md, r0, rig["cam_t"], with_shape=True)
+    w0 = np.zeros(model.num_shapes)
+    c_ours = ORC.online_frame_cost(prob_o, x5, w0, kp[5], x4, 1.0,
+                                   beta_pose=2.0, lambda_t=3.0)
+    # the jitted cost and the oracle's must agree (same objective)
+    np.testing.assert_allclose(c_ours, float(r5.cost), rtol=1e-8)
+
+    xp = _cached_polish(
+        "online_f5", dict(x=x5, prev=x4),
+        lambda: dict(xp=ORC.fit_online_frame(
+            prob_o, kp[5], x5, x4, 1.0, shape=w0, beta_pose=2.0,
+            lambda_t=3.0, frozen_joints=FIXED_JOINTS_POSE_ONLY,
+            freeze_scale=True, max_nfev=4000)),
+    )["xp"]
+    c_pol = ORC.online_frame_cost(prob_o, xp, w0, kp[5], x4, 1.0,
+                                  beta_pose=2.0, lambda_t=3.0)
+    assert _polish_improvement(c_ours, c_pol) < 0.01, (c_ours, c_pol)
+    e_ours = prob_o.mean_px_error(x5, w0, kp[5])
+    e_pol = prob_o.mean_px_error(xp, w0, kp[5])
+    assert abs(e_ours - e_pol) <= 0.01 * max(e_pol, 1e-9) + 1e-3, (
+        e_ours, e_pol)
+
+
+@needs_fixture
 def test_fit_quality_on_fixture(rig):
     """Absolute fit-quality bound on the real fixture: the multi-start
     batched fit must land every test frame under 8 px mean error at
