@@ -319,6 +319,7 @@ def main():
         )
         from smpltpu.pipeline.common import params_to_pose
         from smpltpu.render.pallas_raster import (
+            pick_active,
             pick_cap,
             pick_spans,
             rasterize_tiled,
@@ -367,13 +368,18 @@ def main():
             s_y, s_x = pick_spans(vfirst[k], np.asarray(model.faces),
                                   fxr, fyr, cxr, cyr, h_r, w_r)
             sy, sx = max(sy, s_y), max(sx, s_x)
+        ac = 32
         for k in range(0, CH, 25):
             m, b = pick_cap(vfirst[k], np.asarray(model.faces),
                             fxr, fyr, cxr, cyr, h_r, w_r,
                             span_y=sy, span_x=sx)
-            mc, bc = max(mc, m), max(bc, b)
+            # margin 1.25: the cap must also hold for the un-sampled
+            # frames of the video (overflow tiles render as background)
+            a = pick_active(vfirst[k], np.asarray(model.faces),
+                            fxr, fyr, cxr, cyr, h_r, w_r, margin=1.25)
+            mc, bc, ac = max(mc, m), max(bc, b), max(ac, a)
         log(f"bench: raster binning window {sy}x{sx} tiles, "
-            f"max_chunks {mc}, big_cap {bc}")
+            f"max_chunks {mc}, big_cap {bc}, act_cap {ac}")
         faces_j = jnp.asarray(np.asarray(model.faces, np.int32))
 
         edge_mode = os.environ.get("BENCH_RASTER_EDGES", "rows")
@@ -383,7 +389,7 @@ def main():
             return jax.vmap(lambda v: rasterize_tiled(
                 v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
                 max_chunks=mc, big_cap=bc, edge_mode=edge_mode,
-                span_y=sy, span_x=sx)[0])(vs)
+                span_y=sy, span_x=sx, act_cap=ac)[0])(vs)
 
         rchunk = jax.jit(render_chunk)
         pj = jnp.asarray(frame_params)
@@ -412,7 +418,7 @@ def main():
             stage_lbs("lbs", N_FRAMES, int(model.num_verts)), dtr))
         log("bench: " + report(stage_raster(
             "raster", N_FRAMES, int(model.faces.shape[0]), n_tiles, mc,
-            CHUNK, TILE_H * TILE_W, bin_entries=sy * sx), dtr,
+            CHUNK, TILE_H * TILE_W, bin_entries=sy * sx, act_cap=ac), dtr,
             dispatches=-(-N_FRAMES // CH)))
 
     if os.environ.get("BENCH_STREAM", "0") == "1":

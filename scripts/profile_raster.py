@@ -87,26 +87,33 @@ def main():
                                      fxr, fyr, cxr, cyr, h_r, w_r,
                                      big_frac=bf)
             sy, sx = max(sy, s_y), max(sx, s_x)
-        mc, bc = 1, 64
+        mc, bc, ac = 1, 64, 32
         for k in range(0, ch, 25):
             m, b = pr.pick_cap(vfirst[k], np.asarray(model.faces),
                                fxr, fyr, cxr, cyr, h_r, w_r,
                                span_y=sy, span_x=sx)
-            mc, bc = max(mc, m), max(bc, b)
+            a = pr.pick_active(vfirst[k], np.asarray(model.faces),
+                               fxr, fyr, cxr, cyr, h_r, w_r,
+                               margin=float(os.environ.get("RP_MARGIN",
+                                                           "1.25")))
+            mc, bc, ac = max(mc, m), max(bc, b), max(ac, a)
+        if os.environ.get("RP_ACT", "") == "all":
+            ac = None   # A/B: the exact all-tiles cap (pre-compaction shape)
         n_ty = -(-h_r // pr.TILE_H)
         n_tx = -(-w_r // pr.TILE_W)
         print(f"--- {w_r}x{h_r}: tiles {n_ty}x{n_tx}={n_ty * n_tx}, "
               f"span {sy}x{sx}, max_chunks {mc}, big_cap {bc}, "
-              f"CHUNK {pr.CHUNK}, TILE_H {pr.TILE_H}")
+              f"act_cap {ac}, CHUNK {pr.CHUNK}, TILE_H {pr.TILE_H}")
 
         @jax.jit
         def phase1(vs):
             def one(v):
                 u, vv, key, keep = pr._face_setup(v, faces_j, fxr, fyr,
                                                   cxr, cyr)
-                sf, first, gbin, big_n = pr._bin_faces(
+                sf, first, gbin, big_n, active = pr._bin_faces(
                     u, vv, keep, n_ty, n_tx, bc, sy, sx)
-                return sf.sum() + first.sum() + gbin.sum() + big_n
+                return sf.sum() + first.sum() + gbin.sum() + big_n \
+                    + active.sum()
             return jax.vmap(one)(vs)
 
         edge_mode = os.environ.get("RP_EDGES", "rows")
@@ -116,7 +123,7 @@ def main():
             return jax.vmap(lambda v: pr.rasterize_tiled(
                 v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
                 max_chunks=mc, big_cap=bc, span_y=sy, span_x=sx,
-                edge_mode=edge_mode)[0])(vs)
+                edge_mode=edge_mode, act_cap=ac)[0])(vs)
 
         vj = jnp.asarray(vfirst)
         t1 = bench(phase1, vj)
@@ -128,29 +135,31 @@ def main():
               f"{(tf - t1) * 1e3 / ch:.3f} ms/frame")
 
         # RP_CHECK=1: pixel-parity of the COMPILED Mosaic kernel against
-        # the independent scatter-min z-buffer, both on the live backend
-        # (the test suite gates interpret mode only; this closes the
-        # compiled-vs-interpret gap on real hardware)
+        # the INTERPRET-mode tiled kernel on the live backend (interpret
+        # lowers the pallas_call to plain XLA ops). The test suite pins
+        # interpret == scatter-min z-buffer on CPU, so this closes the
+        # remaining compiled-vs-interpret gap on real hardware. (The
+        # z-buffer itself no longer remote-compiles on the tunnel —
+        # HTTP 500 in tpu_compile_helper on its giant scatter — and at
+        # 720x1280 it OOMs on constant literals; the interpret reference
+        # compiles fine at both resolutions.)
         if os.environ.get("RP_CHECK", "0") == "1":
-            from smpltpu.render.jax_raster import pick_patch, rasterize_zbuffer
-
             n_chk = min(int(os.environ.get("RP_CHECK_FRAMES", "8")), ch)
-            patch = max(pick_patch(vfirst[k], np.asarray(model.faces),
-                                   fxr, fyr, cxr, cyr)
-                        for k in range(n_chk))
 
             @jax.jit
-            def zref(vs):
-                return jax.vmap(lambda v: rasterize_zbuffer(
+            def iref(vs):
+                return jax.vmap(lambda v: pr.rasterize_tiled(
                     v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
-                    patch=patch)[0])(vs)
+                    max_chunks=mc, big_cap=bc, span_y=sy, span_x=sx,
+                    edge_mode=edge_mode, act_cap=ac,
+                    interpret=True)[0])(vs)
 
             g_t = np.asarray(full(vj[:n_chk]))
-            g_z = np.asarray(zref(vj[:n_chk]))
+            g_z = np.asarray(iref(vj[:n_chk]))
             diff = int(np.sum(g_t != g_z))
             tot = g_t.size
             print(f"check[{edge_mode}]: {n_chk} frames, "
-                  f"{diff}/{tot} differing pixels vs z-buffer "
+                  f"{diff}/{tot} differing pixels vs interpret "
                   f"({'PIXEL-EXACT' if diff == 0 else 'MISMATCH'})")
             if diff:
                 raise SystemExit(1)

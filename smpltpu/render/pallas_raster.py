@@ -16,23 +16,30 @@ scatter-free two-phase design shaped for the hardware:
      gathered once in sorted order (every byte useful).
 
   phase 2 (Pallas kernel, grid = (worklist,)): phase 1 knows each tile's
-     exact block count (ceil over its segment), so it emits a COMPACTED
-     tile-major worklist of (tile, block) pairs — every tile contributes
-     max(blocks, 1) entries and the static grid length is exactly
-     n_blocks + n_tiles, so no grid step is a scheduled no-op and no
-     per-tile chunk budget (or truncation) exists at all. The
+     exact block count (ceil over its segment) AND which tiles can be
+     covered at all (non-empty segment or inside a big face's bbox —
+     the ACTIVE set), so it emits a COMPACTED active-tile-major worklist
+     of (tile, block) pairs: every active tile contributes
+     max(blocks, 1) entries, inactive tiles contribute NONE (their
+     pixels are materialized as background by a cheap gather after the
+     kernel, not by grid steps). The static grid length is
+     n_blocks + act_cap; entries beyond the frame's dynamic total are
+     flag-guarded no-ops writing a discarded dump block. The
      scalar-prefetched worklist drives both the input BlockSpec index_map
      (which CHUNK-block of sorted edge data to stream) and the output
-     index_map (which tile's pixels to write; revisits are consecutive by
-     construction). A tile's first worklist entry initializes the VMEM
-     z-buffer scratch and sweeps the global big-face list. Per block the
-     three edge functions for all tile pixels are VPU broadcast FMAs (see
-     edge_mode), the inside test and key-select are VPU ops, and the
-     running z-buffer lives in the scratch persisting across the tile's
-     consecutive steps. (The previous dense (tiles, max_chunks) grid
-     paid ~2-3 us of scheduling per SKIPPED step — 1150 of 1620 steps at
-     270x480 — and truncated segments beyond the static budget; the
-     worklist removes both.)
+     index_map (which compacted output slot to write; revisits are
+     consecutive by construction). A tile's first worklist entry
+     initializes the VMEM z-buffer scratch and sweeps the global
+     big-face list. Per block the three edge functions for all tile
+     pixels are VPU broadcast FMAs (see edge_mode), the inside test and
+     key-select are VPU ops, and the running z-buffer lives in the
+     scratch persisting across the tile's consecutive steps. (History:
+     the round-2 dense (tiles, max_chunks) grid paid ~2-3 us of
+     scheduling per SKIPPED step and truncated long segments; the
+     round-3 all-tiles worklist fixed both but still spent ~80% of its
+     grid at 720x1280 on init/big-sweep/write steps for provably-blank
+     tiles — the body covers ~200 of 960 tiles — which the active
+     compaction removes.)
 
 Faces whose bbox spans more than a span_y x span_x tile window
 (span_y*TILE_H px tall x span_x*TILE_W px wide) go to a small global
@@ -133,7 +140,9 @@ def _tile_ranges(u, v, n_ty, n_tx):
 def _bin_faces(u, v, keep, n_ty, n_tx, big_cap, span_y=SPAN, span_x=SPAN):
     """Sorted ragged binning. Returns (sf (Np,) face ids in sorted-entry
     order padded with n_faces, first (T+1,) segment offsets, gbin
-    (big_cap,) global big-face ids, big_n ())."""
+    (big_cap,) global big-face ids, big_n (), active (T,) bool — tiles
+    with a non-empty segment OR inside some listed big face's bbox; only
+    active tiles can receive coverage, so the worklist skips the rest)."""
     n_faces = u.shape[0]
     n_tiles = n_ty * n_tx
     ty0, ty1, tx0, tx1 = _tile_ranges(u, v, n_ty, n_tx)
@@ -168,49 +177,98 @@ def _bin_faces(u, v, keep, n_ty, n_tx, big_cap, span_y=SPAN, span_x=SPAN):
     gbin = gbin.at[jnp.where(bok, brank, big_cap)].set(
         jnp.where(bok, face_idx, n_faces))
     big_n = jnp.minimum(jnp.sum(big.astype(jnp.int32)), big_cap)
-    return sf, first, gbin[:big_cap], big_n
+
+    # Tile activity: a tile can only be covered if a small face binned
+    # into its segment (seg > 0) or a LISTED big face's clipped bbox
+    # contains it (edge tests never pass outside a face's bbox). Big
+    # coverage as a dense (n_tiles, big_cap) bbox-containment test
+    # against the just-built big list — 4 broadcast compares, no TPU
+    # scatter (a difference-array formulation measured +0.45 ms/frame
+    # in scatter-adds at 720x1280).
+    seg = first[1:] - first[:-1]
+    glist = gbin[:big_cap]
+    sent = jnp.int32(n_ty + n_tx + 2)          # sentinel slot: empty bbox
+    bty0 = jnp.concatenate([ty0, sent[None]])[glist]
+    bty1 = jnp.concatenate([ty1, -sent[None]])[glist]
+    btx0 = jnp.concatenate([tx0, sent[None]])[glist]
+    btx1 = jnp.concatenate([tx1, -sent[None]])[glist]
+    tyi = (jnp.arange(n_tiles, dtype=jnp.int32) // n_tx)[:, None]
+    txi = (jnp.arange(n_tiles, dtype=jnp.int32) % n_tx)[:, None]
+    cov = ((tyi >= bty0[None, :]) & (tyi <= bty1[None, :])
+           & (txi >= btx0[None, :]) & (txi <= btx1[None, :])).any(axis=1)
+    active = (seg > 0) | cov
+    return sf, first, gbin[:big_cap], big_n, active
 
 
-def _build_worklist(first, n_tiles, n_blocks):
-    """Compacted tile-major (tile, block, is_first) worklist.
+def _build_worklist(first, active, n_tiles, n_blocks, act_cap):
+    """ACTIVE-tile-major (tile, block, is_first, out_slot) worklist.
 
     Tile t's segment [first[t], first[t+1]) touches blocks
-    [first[t]//CHUNK, (first[t+1]-1)//CHUNK]; empty tiles still emit one
-    entry (z-buffer init + big sweep + output write). Static length
-    L = n_blocks + n_tiles bounds the total exactly (each tile adds at
-    most one straddle block beyond its pro-rata share); padding entries
-    alias the LAST tile with a block already processed — re-min-ing the
-    same candidates is idempotent, and the consecutive output revisit
-    keeps the Pallas write-back contract. Returns (wl_tile, wl_blk,
-    wl_init) int32 (L,)."""
-    n_l = n_blocks + n_tiles
+    [first[t]//CHUNK, (first[t+1]-1)//CHUNK]. Only ACTIVE tiles (seg > 0
+    or big-bbox-covered — _bin_faces) emit entries: active tiles with an
+    empty segment emit one (z-buffer init + big sweep + output write),
+    inactive tiles emit NONE — their output is materialized as SENTINEL
+    by the caller's gather, never by a grid step. At 720x1280 the body
+    covers ~200 of 960 tiles, and the all-tiles worklist spent ~80% of
+    its grid steps on init/sweep/write for provably-blank tiles.
+
+    Static length L = n_blocks + act_cap bounds the dynamic total (each
+    active tile adds at most one straddle block beyond its pro-rata
+    share). Entries beyond the dynamic total carry out_slot == act_cap
+    (the dump output block) — the kernel skips init and accumulate for
+    them, so padding costs one scratch write to a discarded block plus
+    grid scheduling. Active ranks beyond act_cap are DROPPED (those
+    tiles render as background) — callers must size act_cap >= the
+    frame's active-tile count (pick_active; the default act_cap=n_tiles
+    can never drop). Returns int32 (L,) arrays (tile, blk, init, slot)
+    plus at_out (act_cap,): out-slot -> tile id, padding slots -> n_tiles."""
+    n_l = n_blocks + act_cap
     first = first.astype(jnp.int32)
     seg = first[1:] - first[:-1]
     blk0 = first[:-1] // CHUNK
     blk1 = jnp.maximum(first[1:] - 1, 0) // CHUNK
     n_blk = jnp.where(seg > 0, blk1 - blk0 + 1, 1).astype(jnp.int32)
+
+    act = active.astype(jnp.int32)
+    rank = jnp.cumsum(act) - 1                    # rank among active tiles
+    n_act = jnp.minimum(jnp.sum(act), act_cap)
+    tid = jnp.arange(n_tiles, dtype=jnp.int32)
+    at_tile = jnp.zeros(act_cap + 1, jnp.int32)
+    at_tile = at_tile.at[jnp.where(active & (rank < act_cap),
+                                   rank, act_cap)].set(tid)
+    at_tile = at_tile[:act_cap]                   # padding slots -> tile 0
+    valid_r = jnp.arange(act_cap, dtype=jnp.int32) < n_act
+    at_out = jnp.where(valid_r, at_tile, n_tiles)
+
+    nblk_r = jnp.where(valid_r, n_blk[at_tile], 0)
     base = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_blk).astype(jnp.int32)])
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nblk_r).astype(jnp.int32)])
     total = base[-1]
     i = jnp.arange(n_l, dtype=jnp.int32)
-    tile = jnp.clip(jnp.searchsorted(base, i, side="right") - 1,
-                    0, n_tiles - 1).astype(jnp.int32)
-    within = i - base[tile]
+    r = jnp.clip(jnp.searchsorted(base, i, side="right") - 1,
+                 0, act_cap - 1).astype(jnp.int32)
+    tile = at_tile[r]
+    within = i - base[r]
     blk = jnp.clip(blk0[tile] + within, 0, n_blocks - 1)
-    init = ((within == 0) & (i < total)).astype(jnp.int32)
-    return tile, blk, init
+    live = i < total
+    init = ((within == 0) & live).astype(jnp.int32)
+    slot = jnp.where(live, r, act_cap).astype(jnp.int32)
+    return tile, blk, init, slot, at_out
 
 
 def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
-                   out_ref, acc, *, edge_mode="vpu", n_tiles=0, n_l=0):
+                   out_ref, acc, *, edge_mode="vpu", n_tiles=0, n_l=0,
+                   act_cap=0):
     """Grid step i: worklist entry i = (tile t, CHUNK-block blk) of t's
     sorted segment [first[t], first[t+1]); the tile's first entry also
     initializes the z-buffer scratch and sweeps the global big-face list.
-    scal_ref (T+2+3L,) = [first (T+1), n_tx<<16|big_n, wl_tile (L),
-    wl_blk (L), wl_init (L)]; edge_ref (12, CHUNK) block of the sorted
-    edge data; key_ref (1, CHUNK); g* refs the (12|1, big_cap) global
-    list; out (1, TILE_H, TILE_W); acc (TILE_H*TILE_W, 1) scratch
-    persisting across the tile's consecutive steps.
+    scal_ref (T+2+4L,) = [first (T+1), n_tx<<16|big_n, wl_tile (L),
+    wl_blk (L), wl_init (L), wl_slot (L)]; edge_ref (12, CHUNK) block of
+    the sorted edge data; key_ref (1, CHUNK); g* refs the (12|1, big_cap)
+    global list; out (1, TILE_H, TILE_W) — block wl_slot[i] of the
+    COMPACTED (act_cap+1)-slot output (slot act_cap = discarded dump for
+    padding entries); acc (TILE_H*TILE_W, 1) scratch persisting across
+    the tile's consecutive steps.
 
     edge_mode picks how e(x,y) = A x + B y + C is evaluated per pixel:
       "rows" — hoisted broadcasts on a (TILE_H, TILE_W, c) pair tensor:
@@ -243,6 +301,7 @@ def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
     i = pl.program_id(0)
     t = scal_ref[n_tiles + 2 + i]
     is_init = scal_ref[n_tiles + 2 + 2 * n_l + i] == 1
+    live = scal_ref[n_tiles + 2 + 3 * n_l + i] < act_cap
     lo = scal_ref[t]
     hi = scal_ref[t + 1]
     start = scal_ref[n_tiles + 2 + n_l + i] * CHUNK
@@ -343,7 +402,10 @@ def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
                           big_cap // gchunk)
         jax.lax.fori_loop(0, n_g, gbody, 0)
 
-    @pl.when(start < hi)
+    # live: padding entries (slot == act_cap) do no work at all; lo < hi:
+    # an active tile with an EMPTY segment (big-bbox coverage only) must
+    # not burn a full (pixels x CHUNK) block whose column mask is empty
+    @pl.when(live & (lo < hi) & (start < hi))
     def _():
         # mask entries outside this tile's segment (chunk straddle) — a
         # per-COLUMN property, so fold it into the keys at (1, CHUNK)
@@ -358,7 +420,7 @@ def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
 
 @partial(jax.jit, static_argnames=("height", "width", "max_chunks",
                                    "big_cap", "interpret", "edge_mode",
-                                   "span_y", "span_x"))
+                                   "span_y", "span_x", "act_cap"))
 def rasterize_tiled(
     verts_cam: jnp.ndarray,   # (nV, 3) camera-space vertices
     faces: jnp.ndarray,       # (nF, 3) int32
@@ -373,6 +435,11 @@ def rasterize_tiled(
     edge_mode: str = "rows",  # see _raster_kernel; "vpu"/"mxu" = legacy
     span_y: int = SPAN,       # binning window in tiles (pick_spans
     span_x: int = SPAN,       # auto-sizes per resolution)
+    act_cap: int | None = None,  # max ACTIVE tiles the grid schedules
+                              # (pick_active; None = n_tiles, exact for
+                              # any frame). Active ranks beyond act_cap
+                              # render as BACKGROUND — size it to the
+                              # frame (see _build_worklist).
 ):
     """Rasterize one frame with the tile-binned kernel. Returns
     (gray (H, W) uint8, covered (H, W) bool) — same contract/semantics as
@@ -388,10 +455,13 @@ def rasterize_tiled(
     assert big_cap < (1 << 16), f"big_cap {big_cap} >= 65536 overflows the packed scalar"
     assert n_tx < (1 << 15), f"n_tx {n_tx} >= 32768 overflows the packed scalar"
     n_tiles = n_ty * n_tx
+    if act_cap is None:
+        act_cap = n_tiles
+    act_cap = min(act_cap, n_tiles)
     u, v, key, keep = _face_setup(verts_cam.astype(jnp.float32), faces,
                                   fx, fy, cx, cy)
-    sf, first, gbin, big_n = _bin_faces(u, v, keep, n_ty, n_tx, big_cap,
-                                        span_y, span_x)
+    sf, first, gbin, big_n, active = _bin_faces(u, v, keep, n_ty, n_tx,
+                                                big_cap, span_y, span_x)
     n_blocks = sf.shape[0] // CHUNK
 
     # edge-function coefficients per face: e(x, y) = A x + B y + C
@@ -428,11 +498,13 @@ def rasterize_tiled(
     gkey = key_ext[gbin][None]                    # (1, big_cap)
 
     # scalars: first offsets + packed (n_tx << 16 | big_n) tail slot +
-    # the compacted worklist (tile, block, is_first) triples
-    n_l = n_blocks + n_tiles
-    wl_tile, wl_blk, wl_init = _build_worklist(first, n_tiles, n_blocks)
+    # the active-compacted worklist (tile, block, is_first, out_slot)
+    n_l = n_blocks + act_cap
+    wl_tile, wl_blk, wl_init, wl_slot, at_out = _build_worklist(
+        first, active, n_tiles, n_blocks, act_cap)
     tail = (jnp.int32(n_tx) << 16) | big_n.astype(jnp.int32)
-    scal = jnp.concatenate([first, tail[None], wl_tile, wl_blk, wl_init])
+    scal = jnp.concatenate([first, tail[None], wl_tile, wl_blk, wl_init,
+                            wl_slot])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -450,7 +522,8 @@ def rasterize_tiled(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TILE_H, TILE_W),
-                               lambda i, s: (s[n_tiles + 2 + i], 0, 0),
+                               lambda i, s: (s[n_tiles + 2 + 3 * n_l + i],
+                                             0, 0),
                                memory_space=pltpu.VMEM),
         # "rows" reduces its (TILE_H, TILE_W, CHUNK) pair tensor over the
         # lane axis, so the z-buffer scratch keeps the (TILE_H, TILE_W)
@@ -465,13 +538,25 @@ def rasterize_tiled(
             f"edge_mode must be 'rows', 'vpu' or 'mxu', got {edge_mode!r}")
     out = pl.pallas_call(
         partial(_raster_kernel, edge_mode=edge_mode, n_tiles=n_tiles,
-                n_l=n_l),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.int32),
+                n_l=n_l, act_cap=act_cap),
+        out_shape=jax.ShapeDtypeStruct((act_cap + 1, TILE_H, TILE_W),
+                                       jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(scal, edge_sorted, key_sorted, gedge, gkey)
 
-    buf = out.reshape(n_ty, n_tx, TILE_H, TILE_W).transpose(0, 2, 1, 3)
+    # expand the compacted output back to the tile grid with a GATHER
+    # (TPU-friendly; the inverse scatter would lower to a slice loop):
+    # tile t reads its active rank's slot, inactive tiles (and active
+    # ranks dropped by a too-small act_cap) read SENTINEL. Slots beyond
+    # the dynamic active count were never written by any grid step —
+    # their garbage is masked off by `filled` here.
+    rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+    filled = active & (rank < act_cap)
+    tiles_full = jnp.where(filled[:, None, None],
+                           out[jnp.clip(rank, 0, act_cap - 1)],
+                           jnp.int32(SENTINEL))
+    buf = tiles_full.reshape(n_ty, n_tx, TILE_H, TILE_W).transpose(0, 2, 1, 3)
     buf = buf.reshape(n_ty * TILE_H, n_tx * TILE_W)[:height, :width]
     covered = buf != SENTINEL
     gray_img = (buf & 0xFF).astype(jnp.uint8)
@@ -526,6 +611,32 @@ def pick_cap(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
     return mc, big_cap
 
 
+def pick_active(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
+                height: int, width: int, margin: float = 1.0,
+                floor: int = 32) -> int:
+    """act_cap for rasterize_tiled: pow2-bucketed count of tiles touched
+    by any face's clipped screen bbox (a superset of the traced active
+    set, which additionally culls backfaces/behind-camera faces — so the
+    cap can never drop a tile for THIS frame). Batched callers sampling
+    frames should pass margin > 1 (e.g. 1.25) so un-sampled frames stay
+    under the cap; a frame whose active count exceeds act_cap renders
+    its overflow tiles as background."""
+    ty0, ty1, tx0, tx1, n_ty, n_tx = _face_tile_spans(
+        verts_cam, faces, fx, fy, cx, cy, height, width)
+    diff = np.zeros((n_ty + 1, n_tx + 1), np.int64)
+    np.add.at(diff, (ty0, tx0), 1)
+    np.add.at(diff, (ty0, tx1 + 1), -1)
+    np.add.at(diff, (ty1 + 1, tx0), -1)
+    np.add.at(diff, (ty1 + 1, tx1 + 1), 1)
+    cov = diff.cumsum(0).cumsum(1)[:n_ty, :n_tx]
+    n_active = int((cov > 0).sum())
+    n_tiles = n_ty * n_tx
+    cap = floor
+    while cap < min(int(np.ceil(n_active * margin)), n_tiles):
+        cap *= 2
+    return min(cap, n_tiles)
+
+
 def pick_spans(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
                height: int, width: int, big_frac: float = 0.02,
                max_span: int = 8) -> tuple:
@@ -575,11 +686,14 @@ def render_overlay_tiled(verts_cam, faces, img_bgr: np.ndarray,
                         fx, fy, cx, cy, h, w)
     mc, bc = pick_cap(np.asarray(verts_cam), np.asarray(faces),
                       fx, fy, cx, cy, h, w, span_y=sy, span_x=sx)
+    ac = pick_active(np.asarray(verts_cam), np.asarray(faces),
+                     fx, fy, cx, cy, h, w)
     interp = jax.default_backend() == "cpu"
     gray, covered = rasterize_tiled(
         jnp.asarray(verts_cam), jnp.asarray(np.asarray(faces, np.int32)),
         float(fx), float(fy), float(cx), float(cy), h, w,
-        max_chunks=mc, big_cap=bc, interpret=interp, span_y=sy, span_x=sx)
+        max_chunks=mc, big_cap=bc, interpret=interp, span_y=sy, span_x=sx,
+        act_cap=ac)
     gray = np.asarray(gray)
     covered = np.asarray(covered)
     out = img_bgr.copy()

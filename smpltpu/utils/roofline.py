@@ -129,7 +129,7 @@ def stage_lbs(name: str, batch: int, n_verts: int, n_joints: int = 24,
 
 def stage_raster(name: str, n_frames: int, n_faces: int, n_tiles: int,
                  max_chunks: int, chunk: int, tile_px: int,
-                 bin_entries: int = 4) -> StageCount:
+                 bin_entries: int = 4, act_cap: int | None = None) -> StageCount:
     """Tile-binned rasterizer (render/pallas_raster.py): phase-1 setup +
     sort of ~bin_entries*n_faces packed keys (sort counted as c*n*log2 n
     compare-exchanges), phase-2 kernel: per executed grid step 3 edge
@@ -139,14 +139,16 @@ def stage_raster(name: str, n_frames: int, n_faces: int, n_tiles: int,
     n_entries = bin_entries * n_faces
     setup = n_faces * 150.0
     sort = 8.0 * n_entries * max(math.log2(max(n_entries, 2)), 1.0)
-    # every tile pays its k=0 step; only segment-covered steps do work —
-    # upper bound: all entries touched once + per-tile big sweep ignored
-    steps = n_entries / chunk + n_tiles
+    # every ACTIVE tile pays its k=0 step (act_cap bounds them; the
+    # round-4 compacted worklist schedules no inactive-tile steps);
+    # only segment-covered steps do work — upper bound: all entries
+    # touched once + per-tile big sweep ignored
+    steps = n_entries / chunk + (act_cap if act_cap is not None else n_tiles)
     kernel = steps * (3 * 2.0 * tile_px * chunk)
     flops = n_frames * (setup + sort + kernel)
     bytes_ = n_frames * (n_entries * 13 * 4.0        # sorted edge gather
                          + n_tiles * tile_px * 4.0)  # z-buffer out
-    # seq_steps mirrors the WORKLIST grid (exact n_blocks + n_tiles
+    # seq_steps mirrors the WORKLIST grid (exact n_blocks + act_cap
     # entries, rasterize_tiled); the old dense n_tiles*max_chunks grid no
     # longer exists, so max_chunks no longer enters the step count
     del max_chunks

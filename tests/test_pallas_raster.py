@@ -155,6 +155,51 @@ def test_pick_spans_grows_the_spilling_axis():
     assert sx == 4, f"expected the x window to absorb the spill, got {sx}"
 
 
+def test_active_cap_pixel_exact(small_model_dict):
+    """pick_active's cap must reproduce the exact (act_cap=n_tiles)
+    render pixel-for-pixel — the compacted worklist + gather-back only
+    skips tiles no face's bbox can touch. Also pins the documented
+    overflow behavior: a cap of 1 drops active ranks >= 1, rendering
+    them as background (never garbage)."""
+    import jax.numpy as jnp
+
+    from smpltpu.models import SMPLModel, smpl_forward
+    from smpltpu.render.pallas_raster import TILE_H, TILE_W, pick_active
+
+    model = SMPLModel.from_dict(small_model_dict, dtype=jnp.float32)
+    out = smpl_forward(model, jnp.zeros(10),
+                       jnp.broadcast_to(jnp.eye(3), (24, 3, 3)),
+                       jnp.asarray([0.0, 0.0, 5.0]))  # small on screen:
+    verts = np.asarray(out["verts"], np.float32)      # some tiles blank
+    faces = np.asarray(model.faces, np.int32)
+    mc, bc = pick_cap(verts, faces, FX, FY, CX, CY, H, W)
+    ac = pick_active(verts, faces, FX, FY, CX, CY, H, W, floor=1)
+    n_tiles = (-(-H // TILE_H)) * (-(-W // TILE_W))
+    # exactness must hold for ANY cap >= the true active-tile count; the
+    # scene occupies tile rows 0-9 of 12 (single tile column), so 10 is
+    # the tight cap — tighter than pick_active's pow2 bucket (16 -> 12)
+    ac = min(ac, 10)
+    assert ac < n_tiles  # the scene leaves some tiles provably blank
+
+    def run(cap):
+        g, c = rasterize_tiled(jnp.asarray(verts), jnp.asarray(faces),
+                               FX, FY, CX, CY, H, W, max_chunks=mc,
+                               big_cap=bc, interpret=True, act_cap=cap)
+        return np.asarray(g), np.asarray(c)
+
+    g_full, c_full = run(None)
+    g_cap, c_cap = run(ac)
+    np.testing.assert_array_equal(c_full, c_cap)
+    np.testing.assert_array_equal(g_full, g_cap)
+    assert c_cap.sum() > 300
+
+    g_1, c_1 = run(1)           # overflow: tiles beyond rank 0 -> background
+    assert c_1.sum() < c_full.sum()
+    covered_both = c_1 & c_full
+    np.testing.assert_array_equal(g_1[covered_both], g_full[covered_both])
+    assert not c_1[~c_full].any()
+
+
 def test_behind_camera_and_backface_culled():
     verts = np.array([
         [-0.2, -0.2, 2.0], [0.2, -0.2, 2.0], [0.0, 0.3, 2.0],
