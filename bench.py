@@ -489,6 +489,22 @@ def main():
         # OnlinePump). Measures true single-stream serving latency without
         # the per-dispatch executable-launch cost; through the tunnel the
         # remaining floor is the two host<->device callback round-trips.
+        from smpltpu.solve.online import (
+            OnlineConfig,
+            OnlinePump,
+            probe_io_callback,
+        )
+
+        if not probe_io_callback():
+            log("bench: stream-pump SKIPPED — this backend does not "
+                "deliver io_callback host calls (the axon remote tunnel "
+                "never services them; a pump dispatch would hang). The "
+                "pump architecture is measured on the CPU fixture "
+                "(tests/test_online.py: p50 6.7 ms vs 10.6 per-dispatch) "
+                "and runs on co-located TPU runtimes.")
+            os.environ["BENCH_STREAM_PUMP"] = "0"   # fall through
+
+    if os.environ.get("BENCH_STREAM_PUMP", "0") == "1":
         from smpltpu.solve.online import OnlineConfig, OnlinePump
 
         n_pu = min(N_FRAMES, int(os.environ.get("BENCH_STREAM_FRAMES",

@@ -195,6 +195,16 @@ def main(argv=None) -> int:
 
     # ---- the stream ----
     if opts["pump"] and start_at < n_frames:
+        from smpltpu.solve.online import probe_io_callback
+
+        if not probe_io_callback():
+            print("[WARN] --pump disabled: this backend does not deliver "
+                  "io_callback host calls (the axon remote-TPU tunnel "
+                  "never services them — a pump dispatch would hang "
+                  "forever). Falling back to per-dispatch streaming; the "
+                  "pump runs on CPU and co-located TPU runtimes.")
+            opts["pump"] = False
+    if opts["pump"] and start_at < n_frames:
         # device-resident request pump: one persistent dispatch, frames
         # fed / params returned through ordered io_callbacks. Warm-up: run
         # the SAME pump instance once with a sacrificial frame and stop it

@@ -187,6 +187,44 @@ def build_online_scan(
     return jax.jit(scan_fit)
 
 
+_PROBE_SRC = """
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import io_callback
+out = jax.jit(lambda v: io_callback(
+    lambda x: np.asarray(x), jax.ShapeDtypeStruct((1,), jnp.float32), v,
+    ordered=True))(jnp.zeros(1, jnp.float32))
+jax.block_until_ready(out)
+print("io_callback_ok")
+"""
+
+
+def probe_io_callback(timeout: float = 60.0) -> bool:
+    """True iff the environment's default backend delivers host callbacks.
+
+    The axon remote-TPU tunnel executes compiled programs but never
+    services io_callback host calls — a dispatch containing one hangs
+    forever (measured 2026-08-20: a trivial ordered io_callback never
+    returns; the same program is instant on CPU and on a co-located TPU
+    runtime). OnlinePump is built on ordered io_callbacks, so callers
+    (bench BENCH_STREAM_PUMP, stream CLI --pump) must gate on this probe
+    instead of blocking a serving thread for the full submit timeout.
+
+    The probe runs in a SUBPROCESS (inheriting the caller's env, so it
+    tests the env-selected backend): a dispatch hung on an unserviced
+    host call would otherwise queue-block every later launch from this
+    process. The trivial program compiles sub-second everywhere; 60 s
+    absorbs tunnel compile jitter."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                           capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return False
+    return "io_callback_ok" in r.stdout
+
+
 class OnlinePump:
     """Device-resident request pump: the causal per-frame filter runs as
     ONE persistent dispatch, with keypoint frames fed from the host and

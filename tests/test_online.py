@@ -329,3 +329,18 @@ def test_pump_matches_step(online_rig):
     np.testing.assert_allclose(pump.prev, xs_loop[-1], rtol=1e-9,
                                atol=1e-10)
     assert pump.has_prev == 1.0
+
+
+def test_probe_io_callback_cpu(monkeypatch):
+    """The pump-availability probe must report True on a backend that
+    services host callbacks (CPU). The probe runs a SUBPROCESS inheriting
+    os.environ; pop PYTHONPATH so the axon sitecustomize cannot latch the
+    remote-TPU backend there (CLAUDE.md: the env var alone does not
+    override a latched platform), and pin JAX_PLATFORMS=cpu explicitly —
+    conftest already exports it, but the probe's correctness should not
+    depend on import order."""
+    monkeypatch.delenv("PYTHONPATH", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    from smpltpu.solve.online import probe_io_callback
+
+    assert probe_io_callback(timeout=120.0)
