@@ -49,6 +49,7 @@ USAGE = """usage: python -m smpltpu.pipeline.single <SMPL.npz> <kps_folder> <ima
                    [max_iters=100] [beta_pose=20] [beta_shape=30]
                    [--opt-shape] [--use-gmm] [--mesh N] [--frame-chunk N]
                    [--multi-start] [--adaptive-start] [--adaptive-thresh PX]
+                   [--no-orient-init]
 """
 
 
@@ -70,6 +71,11 @@ def parse_args(argv):
         "adaptive_start": False,  # fit once from data-init, multi-start
                                   # only frames above --adaptive-thresh
         "adaptive_thresh": 6.0,
+        # round 4: the multi-start/adaptive data init estimates the ROOT
+        # ORIENTATION from the torso detections (solve/init.py::
+        # estimate_root_orient); --no-orient-init restores the round-3
+        # identity-orientation span init
+        "orient_init": True,
     }
     seen_numeric = 0
     rest = list(argv[4:])
@@ -89,6 +95,8 @@ def parse_args(argv):
             opts["adaptive_start"] = True
         elif a == "--adaptive-thresh" and rest:
             opts["adaptive_thresh"] = float(rest.pop(0))
+        elif a == "--no-orient-init":
+            opts["orient_init"] = False
         elif a == "--freeze-scale":  # gauge fix: see solve/single_frame.py
             opts["freeze_scale"] = True
         elif a == "--mesh" and rest:  # DP the frame batch over the mesh
@@ -171,7 +179,8 @@ def main(argv=None) -> int:
         seeds = (np.asarray(gmm["means"])
                  if gmm is not None and opts["beta_pose"] > 0.0 else None)
         starts = make_start_set(kp, prob.spec, cam, n_extra_dims=n_extra,
-                                pose_seeds=seeds)
+                                pose_seeds=seeds,
+                                orient=opts["orient_init"])
         s_dim = starts.shape[1]
         x0 = jnp.asarray(starts.reshape(n_frames * s_dim, -1), dtype)
         kp_fit = np.repeat(kp, s_dim, axis=0)
@@ -299,7 +308,8 @@ def _main_adaptive(opts, ds, prob, kp, dtype) -> int:
     timer = StageTimer()
     res = fit_adaptive(prob, kp, opts["max_iters"],
                        px_thresh=opts["adaptive_thresh"],
-                       fitter=fitter, dtype=dtype)
+                       fitter=fitter, dtype=dtype,
+                       orient=opts["orient_init"])
     first_ms = timer.ms()
     # re-run the (deterministic) solve so the logged time excludes the
     # one-off XLA compiles, matching the reference's ceres::Solve-only
@@ -307,7 +317,8 @@ def _main_adaptive(opts, ds, prob, kp, dtype) -> int:
     timer = StageTimer()
     res = fit_adaptive(prob, kp, opts["max_iters"],
                        px_thresh=opts["adaptive_thresh"],
-                       fitter=fitter, dtype=dtype)
+                       fitter=fitter, dtype=dtype,
+                       orient=opts["orient_init"])
     total_ms = timer.ms()
     print(f"[INFO] adaptive solve: {total_ms:.1f} ms for {n_frames} frames "
           f"({res.hard_idx.size} above {opts['adaptive_thresh']:.1f}px "

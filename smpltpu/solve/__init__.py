@@ -4,11 +4,14 @@ batched on-device Levenberg-Marquardt engine."""
 
 from smpltpu.solve.init import (  # noqa: F401
     AdaptiveResult,
+    aa_from_rotation,
     best_of_starts,
     build_px_eval,
     estimate_frame_init,
+    estimate_root_orient,
     fit_adaptive,
     make_start_set,
+    rotation_from_aa,
 )
 from smpltpu.solve.lm import LMConfig, LMState, lm_solve  # noqa: F401
 from smpltpu.solve.multi_frame import (  # noqa: F401

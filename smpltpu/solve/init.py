@@ -33,18 +33,207 @@ import numpy as np
 from smpltpu.energy.params import frame_param_layout, init_frame_params
 
 
+# Both caches key on id() and retain the key object so the id cannot be
+# recycled. rest_joints_cam runs a full FK chain — EAGER dispatch costs
+# seconds per call on a remote backend (~28 ms tunnel floor per op), and
+# a fresh jax.jit wrapper per call recompiles every time; measured round 4:
+# the uncached pair made each fit_adaptive() call ~7.5 s for 128 frames on
+# the TPU tunnel vs ~0.3 s with the caches (bench single-adaptive row).
+_REST_CACHE: dict = {}
+_PX_EVAL_CACHE: dict = {}
+
+
 def rest_joints_cam(spec) -> np.ndarray:
     """Rest-pose joint positions in the camera frame at identity pose,
-    unit scale, zero translation: R0 @ (root-anchored rest skeleton)."""
+    unit scale, zero translation: R0 @ (root-anchored rest skeleton).
+    Jitted + memoized per spec object (see _REST_CACHE note)."""
+    hit = _REST_CACHE.get(id(spec))
+    if hit is not None:
+        return hit[1]
+    import jax
     import jax.numpy as jnp
 
     from smpltpu.energy import skeleton_joints_cam
 
     n_j = len(spec.parents)
     x0 = np.asarray(init_frame_params(n_j, depth=0.0, dtype=jnp.float64))
-    return np.asarray(skeleton_joints_cam(
-        jnp.asarray(x0), jnp.zeros(1, jnp.float64),
-        spec._replace(joint_shape_reg=None)))
+    spec_ns = spec._replace(joint_shape_reg=None)
+    out = np.asarray(jax.jit(
+        lambda p, s: skeleton_joints_cam(p, s, spec_ns))(
+            jnp.asarray(x0), jnp.zeros(1, jnp.float64)))
+    _REST_CACHE[id(spec)] = (spec, out)
+    return out
+
+
+# Rigid-ish torso subset of the observable SMPL joints (constants.USE_SMPL):
+# pelvis (0), hips (1, 2), shoulders (16, 17). Knees/ankles/wrists move with
+# limb articulation and would violate the rigidity assumption badly.
+TORSO_SMPL_IDS = (0, 1, 2, 16, 17)
+
+
+def aa_from_rotation(r: np.ndarray) -> np.ndarray:
+    """Angle-axis from a rotation matrix (numpy, Shepperd's quaternion
+    extraction — stable on all branches including angle ~ pi, where the
+    direct trace/arccos log map loses the axis)."""
+    r = np.asarray(r, np.float64)
+    t = np.trace(r)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2.0
+        q = np.array([0.25 * s, (r[2, 1] - r[1, 2]) / s,
+                      (r[0, 2] - r[2, 0]) / s, (r[1, 0] - r[0, 1]) / s])
+    elif r[0, 0] > r[1, 1] and r[0, 0] > r[2, 2]:
+        s = np.sqrt(1.0 + r[0, 0] - r[1, 1] - r[2, 2]) * 2.0
+        q = np.array([(r[2, 1] - r[1, 2]) / s, 0.25 * s,
+                      (r[0, 1] + r[1, 0]) / s, (r[0, 2] + r[2, 0]) / s])
+    elif r[1, 1] > r[2, 2]:
+        s = np.sqrt(1.0 + r[1, 1] - r[0, 0] - r[2, 2]) * 2.0
+        q = np.array([(r[0, 2] - r[2, 0]) / s, (r[0, 1] + r[1, 0]) / s,
+                      0.25 * s, (r[1, 2] + r[2, 1]) / s])
+    else:
+        s = np.sqrt(1.0 + r[2, 2] - r[0, 0] - r[1, 1]) * 2.0
+        q = np.array([(r[1, 0] - r[0, 1]) / s, (r[0, 2] + r[2, 0]) / s,
+                      (r[1, 2] + r[2, 1]) / s, 0.25 * s])
+    q = q / np.linalg.norm(q)
+    if q[0] < 0:
+        q = -q
+    angle = 2.0 * np.arccos(np.clip(q[0], -1.0, 1.0))
+    sn = np.linalg.norm(q[1:])
+    if sn < 1e-12:
+        return np.zeros(3)
+    return q[1:] / sn * angle
+
+
+def rotation_from_aa(aa: np.ndarray) -> np.ndarray:
+    """Rodrigues (numpy) — inverse of aa_from_rotation."""
+    aa = np.asarray(aa, np.float64)
+    th = np.linalg.norm(aa)
+    if th < 1e-12:
+        return np.eye(3)
+    k = aa / th
+    kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * kx + (1.0 - np.cos(th)) * (kx @ kx)
+
+
+def estimate_root_orient(
+    kp_dense: np.ndarray,   # (K, 4) [jid, u, v, valid]
+    rest_cam: np.ndarray,   # (nJ, 3) from rest_joints_cam(spec)
+    cam,
+    torso_ids=TORSO_SMPL_IDS,
+    min_pts: int = 4,
+    depth_bounds: tuple = (0.5, 15.0),
+):
+    """Weak-perspective Procrustes estimate of the root rotation from one
+    frame's 2D detections (the SMPLify-style PnP init). Returns
+    (R (3,3), t (3,)) in the solver's root convention — FK applies
+    joints_cam = s * R_aa @ rest_cam + t (energy/reproj.py:128-132), so R
+    IS rodrigues(root_aa) directly — or None when degenerate.
+
+    Why: the reference's blind init (src/main_single_frame.cpp:219-224)
+    AND the repo's span-based data init both start at identity root
+    orientation; on frames whose true root rotation exceeds ~1 rad the
+    robustified energy's basin is unreachable from there (measured on the
+    bench workload: 871/1000 frames stuck >6 px, yaw-only multi-start
+    unable to recover non-yaw rotations). This estimator reads the
+    orientation off the data instead:
+
+      normalized centered 2D  y_i ≈ (1/z̄) * (R (X_i - X̄))_{xy}
+
+    over the rigid-ish TORSO joints (falls back to all observed joints
+    below ``min_pts``), solved by least squares for the 2x3 map, then
+    lifted to SO(3) via SVD (nearest scaled rotation rows; r3 = r1 x r2).
+    Mean depth z̄ = 1/alpha from the singular values, translation from the
+    centroids. Weak perspective holds because torso extent (~0.5 m) is
+    small against typical subject depth (>2 m)."""
+    kp = np.asarray(kp_dense, np.float64)
+    valid = kp[:, 3] > 0
+    jid = kp[valid, 0].astype(int)
+    uv = kp[valid, 1:3]
+    sel = np.isin(jid, np.asarray(torso_ids))
+    if sel.sum() < min_pts:
+        sel = np.ones(jid.shape, bool)
+    if sel.sum() < min_pts:
+        return None
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    x = rest_cam[jid[sel]]                                   # (N, 3)
+    y = np.stack([(uv[sel, 0] - cx) / fx, (uv[sel, 1] - cy) / fy], axis=1)
+    xc = x - x.mean(0)
+    yc = y - y.mean(0)
+    g = xc.T @ xc
+    try:
+        evals, evecs = np.linalg.eigh(g)                     # ascending
+    except np.linalg.LinAlgError:
+        return None
+    if not np.isfinite(evals).all() or evals[2] <= 1e-12:
+        return None
+    if evals[1] < 1e-6 * evals[2]:
+        # collinear points: orientation about the line is unobservable
+        return None
+    if evals[0] < 1e-2 * evals[2]:
+        # PLANAR point set — the SMPL torso in practice (pelvis/hips/
+        # shoulders are coplanar to ~1 cm). The 3D normal equations are
+        # singular along the plane normal (a ridge there amplifies noise
+        # into an arbitrary out-of-plane column — measured: singular
+        # values 3-12x the true 1/z̄, garbage rotations), so solve the
+        # classical planar weak-perspective pose instead: LS the 2x2 map
+        # A from plane coordinates to image, then A = (1/z̄) * U diag(1,
+        # cos phi) V^T where phi is the out-of-plane tilt — z̄ from the
+        # LARGE singular value, tilt magnitude from the foreshortening
+        # ratio, tilt SIGN unobservable (the Necker flip start covers it).
+        p_basis = evecs[:, [2, 1]]                           # (3, 2)
+        xi = xc @ p_basis                                    # (N, 2)
+        try:
+            a2 = np.linalg.solve(xi.T @ xi, xi.T @ yc).T     # (2, 2)
+            u2, s2, vt2 = np.linalg.svd(a2)
+        except np.linalg.LinAlgError:
+            return None
+        if not np.isfinite(s2).all() or s2[0] < 1e-9:
+            return None
+        alpha = float(s2[0])                                 # = 1 / z̄
+        cphi = float(np.clip(s2[1] / s2[0], 0.0, 1.0))
+        sphi = np.sqrt(1.0 - cphi * cphi)
+        # Q = R @ p_basis (3x2, orthonormal columns): top 2x2 from the
+        # SVD frame, third row sphi * v2 (Q^T Q = I by construction)
+        q = np.vstack([u2 @ np.diag([1.0, cphi]) @ vt2, sphi * vt2[1]])
+        basis3 = np.column_stack(
+            [p_basis, np.cross(p_basis[:, 0], p_basis[:, 1])])
+        q3 = np.cross(q[:, 0], q[:, 1])
+        r = np.column_stack([q, q3]) @ basis3.T
+    else:
+        # genuinely 3D spread: full 3-column LS, lifted to the nearest
+        # scaled rotation rows via SVD (r3 = r1 x r2)
+        m = (yc.T @ xc) @ np.linalg.inv(g + 1e-12 * np.eye(3))   # (2, 3)
+        try:
+            u_m, s_m, vt_m = np.linalg.svd(m)
+        except np.linalg.LinAlgError:
+            return None
+        if not np.isfinite(s_m).all() or s_m[0] < 1e-9:
+            return None
+        alpha = float(s_m.mean())                            # = 1 / z̄
+        r2 = u_m @ vt_m[:2]                                  # (2, 3)
+        r = np.vstack([r2, np.cross(r2[0], r2[1])])          # det +1
+    # paraperspective correction: the affine LS estimates orientation as
+    # seen from the CENTROID RAY's frame, not the optical axis — for an
+    # off-center subject (±0.5 m at 2-5 m, viewing angles to ~14 deg)
+    # this is the dominant model error (measured on synthetic rigid
+    # torsos: 6.4 -> 2.1 deg median with the correction). Pre-rotate by
+    # the minimal rotation taking e_z to the centroid ray.
+    d = np.array([y[:, 0].mean(), y[:, 1].mean(), 1.0])
+    d = d / np.linalg.norm(d)
+    v = np.cross([0.0, 0.0, 1.0], d)
+    if np.linalg.norm(v) > 1e-12:
+        vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+        r = (np.eye(3) + vx + vx @ vx / (1.0 + d[2])) @ r
+    if alpha < 1.0 / depth_bounds[1] or alpha > 1.0 / depth_bounds[0]:
+        return None
+    z_bar = 1.0 / alpha
+    rx_bar = r @ x.mean(0)
+    t = np.array([y[:, 0].mean() * z_bar - rx_bar[0],
+                  y[:, 1].mean() * z_bar - rx_bar[1],
+                  z_bar - rx_bar[2]])
+    if not (depth_bounds[0] * 0.5 <= t[2] + rx_bar[2] <= depth_bounds[1] * 2):
+        return None
+    return r, t
 
 
 def estimate_frame_init(
@@ -55,16 +244,33 @@ def estimate_frame_init(
     depth_bounds: tuple = (0.5, 15.0),
     min_kps: int = 4,
     default_depth: float = 3.0,
+    orient: bool = False,
 ) -> np.ndarray:
     """Closed-form (P,) init for one frame. Falls back to the reference
     init (s=1, t=(0,0,default_depth)) when fewer than min_kps detections.
-    """
+
+    ``orient=True`` additionally estimates the ROOT ROTATION by
+    weak-perspective Procrustes over the torso detections
+    (:func:`estimate_root_orient`) and uses its translation; identity-
+    orientation span init when that is degenerate. Opt-in so the plain
+    ``--data-init`` paths (and the committed full-res pipeline golden)
+    keep their pinned behavior; the adaptive/multi-start machinery turns
+    it on (fit_adaptive, make_start_set)."""
     x0 = np.array(init_frame_params(n_joints, depth=default_depth,
                                     dtype=np.float64))  # np.array: writable
     kp_dense = np.asarray(kp_dense, np.float64)
     valid = kp_dense[:, 3] > 0
     if valid.sum() < min_kps:
         return x0
+    if orient:
+        est = estimate_root_orient(kp_dense, rest_cam, cam,
+                                   depth_bounds=depth_bounds)
+        if est is not None:
+            r_est, t_est = est
+            x0[1:4] = aa_from_rotation(r_est)
+            x0[4:7] = np.clip(t_est, [-50.0, -50.0, depth_bounds[0]],
+                              [50.0, 50.0, depth_bounds[1]])
+            return x0
     fx, fy = float(cam.fx), float(cam.fy)
     cx, cy = float(cam.cx), float(cam.cy)
     uv = kp_dense[valid, 1:3]
@@ -91,9 +297,20 @@ def make_start_set(
     include_reference_init: bool = True,
     n_extra_dims: int = 0,   # append zeros (e.g. shape block) per start
     pose_seeds: np.ndarray = None,   # (S_extra, 3*(nJ-1)) joint-AA seeds
+    orient: bool = True,
 ) -> np.ndarray:
     """(F, S, P[+extra]) start set: data-driven init x yaw hypotheses
     [+ the reference's blind init as one more start].
+
+    ``orient=True`` (default): each frame's base start carries the
+    weak-perspective root-orientation estimate
+    (:func:`estimate_root_orient`); the yaw hypotheses become DELTAS
+    composed about the camera y axis on top of it (aa(R_y(yaw) @ R_est))
+    instead of absolute aa-y slot values, and the yaw=pi slot is replaced
+    by the weak-perspective Necker flip (diag(1,1,-1) R diag(1,1,-1) —
+    the depth-reversal ambiguity a 2D Procrustes fit genuinely cannot
+    resolve, and the start the yaw grid is least likely to cover). Frames
+    whose estimate is degenerate keep the round-2 absolute-yaw behavior.
 
     ``pose_seeds``: extra starts with the data-driven root but the given
     joint angle-axes — pass the GMM prior's component means for
@@ -110,12 +327,22 @@ def make_start_set(
     n_j = len(spec.parents)
     p_dim = frame_param_layout(n_j)["total"]
     starts = []
+    necker = np.diag([1.0, 1.0, -1.0])
     for f in range(kp_batch.shape[0]):
-        base = estimate_frame_init(kp_batch[f], rest, cam, n_joints=n_j)
+        base = estimate_frame_init(kp_batch[f], rest, cam, n_joints=n_j,
+                                   orient=orient)
+        r_est = (rotation_from_aa(base[1:4])
+                 if orient and np.any(base[1:4] != 0.0) else None)
         row = []
         for yaw in yaws:
             v = base.copy()
-            v[2] = yaw   # rotation about the camera-frame y axis slot
+            if r_est is None:
+                v[2] = yaw   # rotation about the camera-frame y axis slot
+            elif yaw == np.pi:
+                v[1:4] = aa_from_rotation(necker @ r_est @ necker)
+            elif yaw != 0.0:
+                v[1:4] = aa_from_rotation(
+                    rotation_from_aa(np.array([0.0, yaw, 0.0])) @ r_est)
             row.append(v)
         if include_reference_init:
             row.append(np.asarray(init_frame_params(n_j, dtype=np.float64)))
@@ -138,7 +365,13 @@ def build_px_eval(prob, dtype=None):
     SOLVER's forward — fitted scale included, unlike the reference's
     scale-discarding log.csv metric (Utils.h:102-116) which is a render
     write-back quirk, not a fit-quality measure. Used by fit_adaptive to
-    pick the frames worth multi-starting."""
+    pick the frames worth multi-starting. Memoized per (prob, dtype) —
+    a fresh jax.jit wrapper has its own compile cache, so an uncached
+    rebuild recompiles on every fit_adaptive call (see _PX_EVAL_CACHE)."""
+    key = (id(prob), dtype)
+    hit = _PX_EVAL_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
     import jax
     import jax.numpy as jnp
 
@@ -158,7 +391,9 @@ def build_px_eval(prob, dtype=None):
         v = kp[:, 3]
         return jnp.sum(d * v) / jnp.maximum(jnp.sum(v), 1.0)
 
-    return jax.jit(jax.vmap(one))
+    fn = jax.jit(jax.vmap(one))
+    _PX_EVAL_CACHE[key] = (prob, fn)
+    return fn
 
 
 class AdaptiveResult:
@@ -188,6 +423,7 @@ def fit_adaptive(
     dtype=None,
     yaws=(np.pi / 2, -np.pi / 2, np.pi),
     fitter=None,
+    orient: bool = True,
 ):
     """Adaptive multi-start single-frame fitting (two phases, batched):
 
@@ -209,6 +445,14 @@ def fit_adaptive(
 
     ``fitter``: pass a prebuilt/preshared build_fitter result to reuse its
     compile cache; default builds one with (max_iters, lm_cfg, chunk).
+
+    ``orient=True`` (default): phase A starts from the weak-perspective
+    root-orientation estimate (:func:`estimate_root_orient`) and phase B's
+    yaw hypotheses compose around it — measured on the 1000-frame bench
+    workload (root rotation ramping to ~2.2 rad) this is the difference
+    between 871/1000 frames hard at 13.96 px final (identity-orientation
+    init, not recoverable by yaw-only starts) and phase A landing in the
+    right basin directly. ``orient=False`` restores the round-3 behavior.
     Returns :class:`AdaptiveResult` (numpy)."""
     import jax.numpy as jnp
 
@@ -222,7 +466,7 @@ def fit_adaptive(
     rest = rest_joints_cam(prob.spec)
 
     x0 = np.stack([estimate_frame_init(kp_batch[f], rest, prob.cam,
-                                       n_joints=n_j)
+                                       n_joints=n_j, orient=orient)
                    for f in range(f_dim)])
     if n_extra:
         x0 = np.concatenate([x0, np.zeros((f_dim, n_extra))], axis=-1)
@@ -256,7 +500,8 @@ def fit_adaptive(
         starts = make_start_set(kp_batch[hard], prob.spec, prob.cam,
                                 yaws=tuple(yaws),
                                 include_reference_init=True,
-                                n_extra_dims=n_extra, pose_seeds=seeds)
+                                n_extra_dims=n_extra, pose_seeds=seeds,
+                                orient=orient)
         xb0 = jnp.asarray(starts.reshape(hard.size * s_dim, -1), dtype)
         kp_b = jnp.asarray(np.repeat(kp_batch[hard], s_dim, axis=0), dtype)
         st_b = fitter(xb0, kp_b)

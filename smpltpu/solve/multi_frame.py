@@ -102,6 +102,18 @@ class MultiFrameConfig(NamedTuple):
     # only, fully parallel over frames, but needs ~128 iterations to match
     # the exact step's convergence quality, erasing the advantage — kept
     # as an option and as the building block the sharded solver uses.
+    # "pcg_block": the same CG recursion with a BLOCK-diagonal
+    # preconditioner — the (P,P) diagonal blocks of the INIT linearization
+    # inverted ONCE per fit (batched inv before the LM loop) and applied
+    # as one batched matvec per CG step. Distinct from the rejected
+    # round-2 block-Jacobi (which factorized per LM iteration and paid
+    # setup every step of the way): here the factorization is amortized
+    # across the WHOLE solve, which is also the only formulation that
+    # stays cheap under vmap (a refresh-every-k lax.cond would lower to
+    # select and run the inverse every iteration for every window). The
+    # stale-but-close preconditioner only shapes the Krylov space — optima
+    # are unchanged (tests/test_multi_frame.py); warm-started window
+    # solves stay near their init linearization so staleness is small.
     linear: str = "tridiag"
     cg_iters: int = 64
     cg_unroll: int = 1
@@ -323,10 +335,12 @@ def build_multi_fitter(
         asm = (h_pp, off_scale, b_pw, c_ww, g_p, g_w_tot)
         return (asm, cost) if with_cost else asm
 
-    def step(state: MultiFrameState, inp, asm=None):
+    def step(state: MultiFrameState, inp, asm=None, prec=None):
         """One trust-region iteration. When ``asm`` is given (fused_cost
         loop) it is the assembly AT state.params carried from the previous
-        iteration; the return gains the assembly to carry next."""
+        iteration; the return gains the assembly to carry next. ``prec``
+        (pcg_block) is the fit-level block-inverse preconditioner pair
+        ((F,P,P), (nS,nS)) closed over the whole LM loop."""
         kp, r0, pair_w = inp
         params, w = state.params, state.shape
         if asm is None:
@@ -360,17 +374,24 @@ def build_multi_fitter(
                 u_w = jnp.einsum("fps,fp->s", b_pw, v_p) + c_reg @ v_w
                 return u, u_w
 
-            dinv = 1.0 / jnp.maximum(
-                jnp.diagonal(d_blocks, axis1=1, axis2=2), 1e-20)
-            cinv = 1.0 / jnp.maximum(jnp.diagonal(c_reg), 1e-20)
+            if prec is not None:
+                pinv_pp, pinv_w = prec
 
-            def prec(r_p, r_w):
-                return dinv * r_p, cinv * r_w
+                def prec_fn(r_p, r_w):
+                    return (jnp.einsum("fab,fb->fa", pinv_pp, r_p),
+                            pinv_w @ r_w)
+            else:
+                dinv = 1.0 / jnp.maximum(
+                    jnp.diagonal(d_blocks, axis1=1, axis2=2), 1e-20)
+                cinv = 1.0 / jnp.maximum(jnp.diagonal(c_reg), 1e-20)
+
+                def prec_fn(r_p, r_w):
+                    return dinv * r_p, cinv * r_w
 
             x_p = jnp.zeros_like(g_p)
             x_w = jnp.zeros_like(g_w)
             r_p, r_w = -g_p, -g_w
-            z_p, z_w = prec(r_p, r_w)
+            z_p, z_w = prec_fn(r_p, r_w)
             rho = jnp.sum(r_p * z_p) + r_w @ z_w
 
             def body(_, c):
@@ -382,7 +403,7 @@ def build_multi_fitter(
                 x_w = x_w + alpha * d_w
                 r_p = r_p - alpha * q_p
                 r_w = r_w - alpha * q_w
-                z_p, z_w = prec(r_p, r_w)
+                z_p, z_w = prec_fn(r_p, r_w)
                 rho_n = jnp.sum(r_p * z_p) + r_w @ z_w
                 beta = rho_n / jnp.maximum(rho, 1e-30)
                 return (x_p, x_w, r_p, r_w, z_p + beta * d_p,
@@ -429,9 +450,9 @@ def build_multi_fitter(
                 interpret=jax.default_backend() == "cpu")
 
         lin = cfg.linear
-        if lin not in ("tridiag", "cr", "pcg", "pcg_kernel"):
+        if lin not in ("tridiag", "cr", "pcg", "pcg_block", "pcg_kernel"):
             raise ValueError(f"unknown linear solver {cfg.linear!r} "
-                             "(tridiag | cr | pcg | pcg_kernel)")
+                             "(tridiag | cr | pcg | pcg_block | pcg_kernel)")
         if lin == "pcg_kernel" and params.shape[0] > 96:
             # VMEM guard: the kernel holds the whole (F, 128, 128) system
             # on-chip (~65 KB/frame for D alone); past ~96 frames it would
@@ -441,6 +462,7 @@ def build_multi_fitter(
             # systems it was built for.
             lin = "pcg"
         arrow_solve = {"pcg": arrow_pcg,
+                       "pcg_block": arrow_pcg,
                        "pcg_kernel": arrow_pcg_kernel,
                        "tridiag": arrow_tridiag,
                        "cr": arrow_tridiag}[lin]
@@ -586,6 +608,22 @@ def build_multi_fitter(
             asm0 = None
             cost0 = cost_fn(params0.astype(dtype), shape0.astype(dtype),
                             kp, r0, pair_w)
+        prec = None
+        if cfg.linear == "pcg_block":
+            # fit-level block preconditioner: invert the (P,P) diagonal
+            # blocks of the INIT linearization once (batched), reuse for
+            # every CG solve of the LM loop (MultiFrameConfig.linear doc)
+            asm_p = asm0 if asm0 is not None else normal_eq(
+                params0.astype(dtype), shape0.astype(dtype), kp, r0, pair_w)
+            h_pp0, _, _, c_ww0, _, _ = asm_p
+            dg_p0 = jnp.clip(jnp.diagonal(h_pp0, axis1=1, axis2=2),
+                             cfg.diag_min, cfg.diag_max)
+            dg_w0 = jnp.clip(jnp.diagonal(c_ww0), cfg.diag_min, cfg.diag_max)
+            prec = (jnp.linalg.inv(
+                        h_pp0 + jax.vmap(jnp.diag)(
+                            1e-9 * dg_p0 + cfg.diag_eps)),
+                    jnp.linalg.inv(
+                        c_ww0 + jnp.diag(1e-9 * dg_w0 + cfg.diag_eps)))
         init = MultiFrameState(
             params=params0.astype(dtype),
             shape=shape0.astype(dtype),
@@ -613,7 +651,7 @@ def build_multi_fitter(
 
             def body_f(carry):
                 st, asm, it, hist = carry
-                st2, asm2, c = step(st, (kp, r0, pair_w), asm=asm)
+                st2, asm2, c = step(st, (kp, r0, pair_w), asm=asm, prec=prec)
                 hist = jnp.where(jnp.arange(cfg.max_iters) >= it, c, hist)
                 return st2, asm2, it + 1, hist
 
@@ -627,7 +665,7 @@ def build_multi_fitter(
 
         def body(carry):
             st, it, hist = carry
-            st2, c = step(st, (kp, r0, pair_w))
+            st2, c = step(st, (kp, r0, pair_w), prec=prec)
             hist = jnp.where(jnp.arange(cfg.max_iters) >= it, c, hist)
             return st2, it + 1, hist
 

@@ -155,7 +155,7 @@ def test_single_frame_pose_certificate(rig):
     prob = make_single_frame_problem(model, r0, cam, beta_pose=2.0,
                                      dtype=jnp.float64)
     fit = build_fitter(prob, max_iters=150, dtype=jnp.float64)
-    starts = make_start_set(kp[FRAMES], prob.spec, cam)     # (F, S, 76)
+    starts = make_start_set(kp[FRAMES], prob.spec, cam, orient=False)     # (F, S, 76)
     f_dim, s_dim = starts.shape[:2]
     kp_rep = np.repeat(kp[FRAMES], s_dim, axis=0)
     st = fit(jnp.asarray(starts.reshape(f_dim * s_dim, -1)),
@@ -193,8 +193,12 @@ def test_single_frame_shape_certificate(rig):
                                      beta_shape=5.0, opt_shape=True,
                                      dtype=jnp.float64)
     fit = build_fitter(prob, max_iters=150, dtype=jnp.float64)
+    # orient=False: these certificates pin the SOLVER against the scipy
+    # oracle from a FIXED start set; the goldens are memoized on the
+    # resulting optima, so the round-4 orientation-estimating start set
+    # (covered by tests/test_orient_init.py) is disabled here.
     starts = make_start_set(kp[[i]], prob.spec, cam,
-                            n_extra_dims=model.num_shapes)
+                            n_extra_dims=model.num_shapes, orient=False)
     s_dim = starts.shape[1]
     st = fit(jnp.asarray(starts[0]), jnp.asarray(np.repeat(kp[[i]], s_dim, 0)))
     best_xw, best_cost, _ = best_of_starts(st, 1, s_dim)
@@ -232,7 +236,7 @@ def test_single_frame_real_gmm_certificate(rig):
     prob = make_single_frame_problem(model, r0, cam, beta_pose=2.0,
                                      gmm_dict=gd, dtype=jnp.float64)
     fit = build_fitter(prob, max_iters=150, dtype=jnp.float64)
-    starts = make_start_set(kp[[i]], prob.spec, cam)
+    starts = make_start_set(kp[[i]], prob.spec, cam, orient=False)
     s_dim = starts.shape[1]
     st = fit(jnp.asarray(starts[0]), jnp.asarray(np.repeat(kp[[i]], s_dim, 0)))
     best_x, best_cost, _ = best_of_starts(st, 1, s_dim)
@@ -364,7 +368,7 @@ def test_fit_quality_on_fixture(rig):
     prob = make_single_frame_problem(model, r0, cam, beta_pose=2.0,
                                      dtype=jnp.float64)
     fit = build_fitter(prob, max_iters=150, dtype=jnp.float64)
-    starts = make_start_set(kp[FRAMES], prob.spec, cam)
+    starts = make_start_set(kp[FRAMES], prob.spec, cam, orient=False)
     f_dim, s_dim = starts.shape[:2]
     st = fit(jnp.asarray(starts.reshape(f_dim * s_dim, -1)),
              jnp.asarray(np.repeat(kp[FRAMES], s_dim, axis=0)))
