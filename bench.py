@@ -411,6 +411,38 @@ def main():
         log(f"bench: render {N_FRAMES} frames at {w_r}x{h_r} in "
             f"{dtr * 1e3:.0f} ms ({N_FRAMES / dtr:.0f} frames/s raster) -> "
             f"solve+render end-to-end {fps_r:.0f} frames/s")
+        # act_cap audit (round-5 review fix): the cap was sized on every-
+        # 25th frame x margin 1.25; an un-sampled frame above it silently
+        # renders overflow tiles as background. Audit exact active counts
+        # on a stride co-prime with the sizing stride (every frame with
+        # BENCH_RENDER_AUDIT_CAP=1) AFTER the timed loop.
+        from smpltpu.render.pallas_raster import active_count
+        audit_all = os.environ.get("BENCH_RENDER_AUDIT_CAP", "0") == "1"
+        stride_a = 1 if audit_all else 7
+        amax, aover = 0, 0
+        cv_jit = jax.jit(chunk_verts)
+        for s in range(0, N_FRAMES, CH):
+            idx = [k for k in range(s, min(s + CH, N_FRAMES))
+                   if k % stride_a == 0]
+            if not idx:
+                continue
+            pj_a = jnp.asarray(frame_params[s:s + CH])
+            if pj_a.shape[0] < CH:   # pad the tail to the compiled shape
+                pj_a = jnp.concatenate(
+                    [pj_a, jnp.tile(pj_a[-1:], (CH - pj_a.shape[0], 1))])
+            # transfer only the audited rows (host pull dominates the cost)
+            vs_a = np.asarray(cv_jit(pj_a)[
+                jnp.asarray([k - s for k in idx])])
+            for i in range(len(idx)):
+                n_act, _ = active_count(
+                    vs_a[i], np.asarray(model.faces),
+                    fxr, fyr, cxr, cyr, h_r, w_r)
+                amax = max(amax, n_act)
+                aover += n_act > ac
+        log(f"bench: act_cap audit (stride {stride_a}): max active "
+            f"{amax} vs cap {ac}"
+            + (f" — {aover} frames OVER CAP (overflow tiles rendered as "
+               f"background; raise margin)" if aover else " — ok"))
         from smpltpu.render.pallas_raster import CHUNK, TILE_H, TILE_W
         from smpltpu.utils.roofline import stage_lbs, stage_raster
         n_tiles = (-(-h_r // TILE_H)) * (-(-w_r // TILE_W))
@@ -651,17 +683,21 @@ def main():
             from smpltpu.solve import fit_adaptive
 
             a_px = float(os.environ.get("BENCH_SINGLE_ADAPTIVE_PX", "6"))
+            # BENCH_SINGLE_ORIENT=0: disable the weak-perspective root-
+            # orientation init (round-5 A/B of the round-4 default)
+            a_orient = os.environ.get("BENCH_SINGLE_ORIENT", "1") == "1"
             t0 = time.perf_counter()
             res_a = fit_adaptive(prob_s, kp_s, 100, px_thresh=a_px,
-                                 fitter=fitter_s)
+                                 fitter=fitter_s, orient=a_orient)
             log(f"bench: single-adaptive compile+first "
                 f"{time.perf_counter() - t0:.1f}s ({n_s} frames, "
-                f"{res_a.hard_idx.size} hard @ >{a_px}px)")
+                f"{res_a.hard_idx.size} hard @ >{a_px}px, "
+                f"orient={'on' if a_orient else 'off'})")
             ts_a = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 res_a = fit_adaptive(prob_s, kp_s, 100, px_thresh=a_px,
-                                     fitter=fitter_s)
+                                     fitter=fitter_s, orient=a_orient)
                 ts_a.append(time.perf_counter() - t0)
             fps_a = n_s / min(ts_a)
             uv_a = np.asarray(jax.jit(jax.vmap(
@@ -680,7 +716,7 @@ def main():
                 "value": round(fps_a, 1), "unit": "frames/sec",
                 "residual_px": round(px_a, 2),
                 "hard_frames": int(res_a.hard_idx.size),
-                "px_thresh": a_px}))
+                "px_thresh": a_px, "orient": a_orient}))
         t0 = time.perf_counter()
         fitter_s(x0_s, kp_fit).x.block_until_ready()
         log(f"bench: single-frame compile+first {time.perf_counter() - t0:.1f}s"

@@ -146,12 +146,16 @@ def main():
         if os.environ.get("RP_CHECK", "0") == "1":
             n_chk = min(int(os.environ.get("RP_CHECK_FRAMES", "8")), ch)
 
+            # reference side runs act_cap=None (= n_tiles, exact for ANY
+            # frame): a too-small compiled-side cap that truncates active
+            # tiles to background now shows up as a pixel MISMATCH instead
+            # of being invisible (both sides truncating identically)
             @jax.jit
             def iref(vs):
                 return jax.vmap(lambda v: pr.rasterize_tiled(
                     v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
                     max_chunks=mc, big_cap=bc, span_y=sy, span_x=sx,
-                    edge_mode=edge_mode, act_cap=ac,
+                    edge_mode=edge_mode, act_cap=None,
                     interpret=True)[0])(vs)
 
             g_t = np.asarray(full(vj[:n_chk]))

@@ -82,6 +82,11 @@ def parse_args(argv):
         "batched_windows": False, "pose_prior": None,
         "resume": False, "profile": False, "metrics_jsonl": None,
         "init_from_anchors": False, "jax_render": False, "data_init": False,
+        # round 5: --data-init seeds the ROOT ORIENTATION too (weak-
+        # perspective Procrustes, solve/init.py::estimate_root_orient) —
+        # the same estimator the single CLI's adaptive/multi-start path
+        # uses; --no-orient-init restores the round-4 span-only init
+        "orient_init": True,
         "mesh": 0,  # 0 = auto (all visible devices), 1 = single-chip
         # arrowhead linear solver (MultiFrameConfig.linear): "pcg" is
         # fastest on TPU (bench 671 -> 1382 frames/s at equal-or-better
@@ -113,6 +118,8 @@ def parse_args(argv):
             opts["init_from_anchors"] = True
         elif a == "--data-init":
             opts["data_init"] = True
+        elif a == "--no-orient-init":
+            opts["orient_init"] = False
         elif a == "--jax-render":
             opts["jax_render"] = True
         elif a == "--profile":
@@ -225,12 +232,18 @@ def main(argv=None) -> int:
         # (solve/init.py). Seeds BOTH stage-1 anchors and the stage-2
         # window starts, attacking the cold-init basin lottery the single
         # CLI's --multi-start addresses (docs/ROADMAP.md accuracy row).
+        # Round 5: the ROOT ORIENTATION is estimated too (weak-perspective
+        # Procrustes over the torso detections) unless --no-orient-init —
+        # at init time every per-frame R0 is still init_root_rotation(),
+        # matching the rest_joints_cam convention the estimator assumes
+        # (write-back accumulation only mutates r0 AFTER fitting).
         from smpltpu.solve.init import estimate_frame_init, rest_joints_cam
         rest = rest_joints_cam(spec)
         n_j = len(spec.parents)
         for f in range(n_frames):
             poses[f] = estimate_frame_init(
-                kp[f], rest, cam, n_joints=n_j).astype(np.float32)
+                kp[f], rest, cam, n_joints=n_j,
+                orient=opts["orient_init"]).astype(np.float32)
     r0 = np.tile(np.asarray(init_root_rotation(), dtype=np.float32),
                  (n_frames, 1, 1))
     shape_w = np.zeros(model.num_shapes, dtype=np.float32)

@@ -52,6 +52,15 @@ USAGE = """usage: python -m smpltpu.pipeline.single <SMPL.npz> <kps_folder> <ima
                    [--no-orient-init]
 """
 
+# --use-gmm beta_pose weight above which the round-4 objective-landscape
+# probes showed non-dominant-component poses become unrecoverable by the
+# objective itself (probe grid beta {2,5,20}: px gap to an L2 fit scales
+# ~linearly in beta, tens of px at the reference default 20 — docs/
+# ROADMAP.md GMM entry). Midpoint of the measured-mild (5) and
+# measured-pathological (20) grid points; a warning threshold, not a
+# behavior change.
+GMM_BETA_WARN = 10.0
+
 
 from smpltpu.pipeline.common import is_number as _is_number
 
@@ -145,6 +154,23 @@ def main(argv=None) -> int:
     if opts["use_gmm"] and gmm is None:
         print("[WARN] --use-gmm requested but no pose_prior.txt found; "
               "falling back to L2 pose prior", file=sys.stderr)
+    if opts["use_gmm"] and gmm is not None \
+            and opts["beta_pose"] >= GMM_BETA_WARN:
+        # round-4 measured pathology (docs/ROADMAP.md GMM entry): the
+        # hard-assignment GMM energy is piecewise and at the reference's
+        # default beta_pose=20 the beta^2-scaled component constants
+        # dominate — poses away from the dominant (argmin c_k) component
+        # are unrecoverable BY THE OBJECTIVE (17-46 px parked optima,
+        # probe grid beta {2,5,20}: the gap scales ~linearly in beta).
+        # The default is reference parity (Sim3BA.h:616-626), so it
+        # stands — but the user should know.
+        print(f"[WARN] --use-gmm at beta_pose={opts['beta_pose']:g} >= "
+              f"{GMM_BETA_WARN:g}: the hard-assignment GMM objective "
+              "measurably prefers parking non-dominant-component poses in "
+              "the dominant basin at this weight (tens of px data error; "
+              "docs/ROADMAP.md GMM entry). Consider a lower beta_pose "
+              "and/or --multi-start (prior-seeded starts).",
+              file=sys.stderr)
 
     prob = make_single_frame_problem(
         model, init_root_rotation(), cam,

@@ -8,7 +8,8 @@ whole chain:
     python -m smpltpu.pipeline.video <SMPL.npz> <input> <out_dir>
         [--mode multi|single|stream] [--size WxH] [--images DIR] [--fps N]
         [--no-video] [--mesh N] [--multi-start] [--freeze-scale]
-        [--use-gmm] [--pose-prior FILE] [--jax-render]
+        [--adaptive-start] [--adaptive-thresh PX] [--no-orient-init]
+        [--frame-chunk N] [--use-gmm] [--pose-prior FILE] [--jax-render]
         [--iters N] [--s2-iters N] [--beta-pose X] [--beta-shape X]
         [--lambda-t X] [--calib N]
 
@@ -47,12 +48,15 @@ def _parse(argv):
         "freeze_scale": False, "use_gmm": False, "pose_prior": None,
         "jax_render": False, "iters": None, "s2_iters": None,
         "beta_pose": None, "beta_shape": None, "lambda_t": None,
-        "calib": None,
+        "calib": None, "adaptive_start": False, "adaptive_thresh": None,
+        "no_orient_init": False, "frame_chunk": None,
     }
     rest = list(argv[3:])
     flags = {"--no-video": "no_video", "--multi-start": "multi_start",
              "--freeze-scale": "freeze_scale", "--use-gmm": "use_gmm",
-             "--jax-render": "jax_render"}
+             "--jax-render": "jax_render",
+             "--adaptive-start": "adaptive_start",
+             "--no-orient-init": "no_orient_init"}
     valued = {"--mode": ("mode", str), "--size": ("size", str),
               "--images": ("images", str), "--fps": ("fps", float),
               "--mesh": ("mesh", int), "--pose-prior": ("pose_prior", str),
@@ -60,6 +64,8 @@ def _parse(argv):
               "--beta-pose": ("beta_pose", float),
               "--beta-shape": ("beta_shape", float),
               "--lambda-t": ("lambda_t", float),
+              "--adaptive-thresh": ("adaptive_thresh", float),
+              "--frame-chunk": ("frame_chunk", int),  # --mode single
               "--calib": ("calib", int)}  # --mode stream only
     while rest:
         a = rest.pop(0)
@@ -198,9 +204,17 @@ def main(argv=None) -> int:
         for flag, key in (("--multi-start", "multi_start"),
                           ("--freeze-scale", "freeze_scale"),
                           ("--use-gmm", "use_gmm"),
-                          ("--jax-render", "jax_render")):
+                          ("--jax-render", "jax_render"),
+                          ("--adaptive-start", "adaptive_start"),
+                          ("--no-orient-init", "no_orient_init")):
             if opts[key]:
                 args.append(flag)
+        if opts["adaptive_thresh"] is not None:
+            args += ["--adaptive-thresh", str(opts["adaptive_thresh"])]
+        if opts["frame_chunk"] is not None:
+            args += ["--frame-chunk", str(opts["frame_chunk"])]
+        if opts["mesh"] is not None:
+            args += ["--mesh", str(opts["mesh"])]
         if opts["pose_prior"]:
             args += ["--pose-prior", opts["pose_prior"]]
     elif opts["mode"] == "stream":
@@ -216,7 +230,11 @@ def main(argv=None) -> int:
         for key, flag in (("s2_iters", "--s2-iters"),
                           ("beta_shape", "--beta-shape"),
                           ("mesh", "--mesh"),
-                          ("multi_start", "--multi-start")):
+                          ("multi_start", "--multi-start"),
+                          ("adaptive_start", "--adaptive-start"),
+                          ("adaptive_thresh", "--adaptive-thresh"),
+                          ("no_orient_init", "--no-orient-init"),
+                          ("frame_chunk", "--frame-chunk")):
             if opts[key]:
                 print(f"[WARN] {flag} does not apply to --mode stream; "
                       "ignored (shape comes from the calibration buffer; "
@@ -237,7 +255,10 @@ def main(argv=None) -> int:
             [opts["iters"], opts["iters"], None, None, None,
              opts["beta_pose"], opts["beta_shape"], opts["lambda_t"]],
             [1000, 500, 10, 20, 5, 5.0, 25.0, 3.0])
-        args += ["--batched-windows", "--init-from-anchors"]
+        # driver defaults = the framework's best path: batched windows,
+        # anchor warm starts, and (round 5) the data-driven per-frame init
+        # with the weak-perspective root-orientation estimate
+        args += ["--batched-windows", "--init-from-anchors", "--data-init"]
         if opts["s2_iters"] is not None:
             args += ["--s2-iters", str(opts["s2_iters"])]
         if opts["calib"] is not None:
@@ -245,11 +266,23 @@ def main(argv=None) -> int:
                   file=sys.stderr)
         for key, flag in (("multi_start", "--multi-start"),
                           ("use_gmm", "--use-gmm"),
-                          ("freeze_scale", "--freeze-scale")):
+                          ("freeze_scale", "--freeze-scale"),
+                          ("adaptive_start", "--adaptive-start")):
             if opts[key]:
                 print(f"[WARN] {flag} applies to --mode single only; "
                       "ignored (multi freezes scale and skips the GMM "
                       "by reference parity)", file=sys.stderr)
+        if opts["adaptive_thresh"] is not None:
+            print("[WARN] --adaptive-thresh applies to --mode single only;"
+                  " ignored", file=sys.stderr)
+        if opts["frame_chunk"] is not None:
+            print("[WARN] --frame-chunk applies to --mode single only; "
+                  "use --s2-iters/--window-chunk pacing for multi; ignored",
+                  file=sys.stderr)
+        # the driver always fits with --data-init (the anchors/windows
+        # warm-start chain); forward the orientation opt-out
+        if opts["no_orient_init"]:
+            args.append("--no-orient-init")
         if opts["mesh"] is not None:
             args += ["--mesh", str(opts["mesh"])]
         if opts["jax_render"]:

@@ -621,6 +621,21 @@ def pick_active(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
     frames should pass margin > 1 (e.g. 1.25) so un-sampled frames stay
     under the cap; a frame whose active count exceeds act_cap renders
     its overflow tiles as background."""
+    n_active, n_tiles = active_count(verts_cam, faces, fx, fy, cx, cy,
+                                     height, width)
+    cap = floor
+    while cap < min(int(np.ceil(n_active * margin)), n_tiles):
+        cap *= 2
+    return min(cap, n_tiles)
+
+
+def active_count(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
+                 height: int, width: int) -> tuple:
+    """(n_active, n_tiles): exact count of tiles touched by any face's
+    clipped screen bbox for ONE frame (host numpy; the superset-of-traced
+    active set pick_active buckets). Batched callers that sized act_cap
+    from sampled frames can audit un-sampled frames with this — a frame
+    whose count exceeds act_cap renders overflow tiles as background."""
     ty0, ty1, tx0, tx1, n_ty, n_tx = _face_tile_spans(
         verts_cam, faces, fx, fy, cx, cy, height, width)
     diff = np.zeros((n_ty + 1, n_tx + 1), np.int64)
@@ -629,12 +644,7 @@ def pick_active(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
     np.add.at(diff, (ty1 + 1, tx0), -1)
     np.add.at(diff, (ty1 + 1, tx1 + 1), 1)
     cov = diff.cumsum(0).cumsum(1)[:n_ty, :n_tx]
-    n_active = int((cov > 0).sum())
-    n_tiles = n_ty * n_tx
-    cap = floor
-    while cap < min(int(np.ceil(n_active * margin)), n_tiles):
-        cap *= 2
-    return min(cap, n_tiles)
+    return int((cov > 0).sum()), n_ty * n_tx
 
 
 def pick_spans(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,

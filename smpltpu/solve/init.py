@@ -39,8 +39,18 @@ from smpltpu.energy.params import frame_param_layout, init_frame_params
 # a fresh jax.jit wrapper per call recompiles every time; measured round 4:
 # the uncached pair made each fit_adaptive() call ~7.5 s for 128 frames on
 # the TPU tunnel vs ~0.3 s with the caches (bench single-adaptive row).
+# Bounded (FIFO evict beyond _CACHE_MAX) so a long-lived serving process
+# that keeps building fresh problem objects cannot grow without bound;
+# steady-state serving reuses one problem object and never evicts.
+_CACHE_MAX = 16
 _REST_CACHE: dict = {}
 _PX_EVAL_CACHE: dict = {}
+
+
+def _cache_put(cache: dict, key, value) -> None:
+    if len(cache) >= _CACHE_MAX:
+        cache.pop(next(iter(cache)))  # dicts iterate in insertion order
+    cache[key] = value
 
 
 def rest_joints_cam(spec) -> np.ndarray:
@@ -61,7 +71,7 @@ def rest_joints_cam(spec) -> np.ndarray:
     out = np.asarray(jax.jit(
         lambda p, s: skeleton_joints_cam(p, s, spec_ns))(
             jnp.asarray(x0), jnp.zeros(1, jnp.float64)))
-    _REST_CACHE[id(spec)] = (spec, out)
+    _cache_put(_REST_CACHE, id(spec), (spec, out))
     return out
 
 
@@ -336,11 +346,14 @@ def make_start_set(
         row = []
         for yaw in yaws:
             v = base.copy()
+            # tolerant matching (np.isclose, not ==): a caller-supplied
+            # yaw grid with a near-pi value must still get the Necker
+            # flip, and a near-zero value the plain base start
             if r_est is None:
                 v[2] = yaw   # rotation about the camera-frame y axis slot
-            elif yaw == np.pi:
+            elif np.isclose(abs(yaw), np.pi):
                 v[1:4] = aa_from_rotation(necker @ r_est @ necker)
-            elif yaw != 0.0:
+            elif not np.isclose(yaw, 0.0):
                 v[1:4] = aa_from_rotation(
                     rotation_from_aa(np.array([0.0, yaw, 0.0])) @ r_est)
             row.append(v)
@@ -392,7 +405,7 @@ def build_px_eval(prob, dtype=None):
         return jnp.sum(d * v) / jnp.maximum(jnp.sum(v), 1.0)
 
     fn = jax.jit(jax.vmap(one))
-    _PX_EVAL_CACHE[key] = (prob, fn)
+    _cache_put(_PX_EVAL_CACHE, key, (prob, fn))
     return fn
 
 
