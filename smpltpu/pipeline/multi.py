@@ -82,11 +82,14 @@ def parse_args(argv):
         "batched_windows": False, "pose_prior": None,
         "resume": False, "profile": False, "metrics_jsonl": None,
         "init_from_anchors": False, "jax_render": False, "data_init": False,
-        # round 5: --data-init seeds the ROOT ORIENTATION too (weak-
-        # perspective Procrustes, solve/init.py::estimate_root_orient) —
-        # the same estimator the single CLI's adaptive/multi-start path
-        # uses; --no-orient-init restores the round-4 span-only init
-        "orient_init": True,
+        # round 5: --multi-start seeds every frame with its best-of-starts
+        # single-frame fit before the two-stage chain (supersedes
+        # --data-init); --orient-init adds the weak-perspective root-
+        # orientation estimate to --data-init (OPT-IN: measured worse for
+        # the coupled two-stage chain on video1 full-res — see the
+        # data_init block + docs/ROADMAP.md)
+        "multi_start": False,
+        "orient_init": False,
         "mesh": 0,  # 0 = auto (all visible devices), 1 = single-chip
         # arrowhead linear solver (MultiFrameConfig.linear): "pcg" is
         # fastest on TPU (bench 671 -> 1382 frames/s at equal-or-better
@@ -118,6 +121,10 @@ def parse_args(argv):
             opts["init_from_anchors"] = True
         elif a == "--data-init":
             opts["data_init"] = True
+        elif a == "--multi-start":
+            opts["multi_start"] = True
+        elif a == "--orient-init":
+            opts["orient_init"] = True
         elif a == "--no-orient-init":
             opts["orient_init"] = False
         elif a == "--jax-render":
@@ -225,18 +232,61 @@ def main(argv=None) -> int:
                make_skeleton_spec(model, init_root_rotation(), with_shape=True))
     kp = ds["kp_batch"].astype(np.float32)
     poses = np.tile(np.asarray(init_frame_params(dtype=dtype)), (n_frames, 1))
-    if opts["data_init"]:
+    if opts["multi_start"]:
+        # framework extension (round 5): seed EVERY frame with its
+        # best-of-starts single-frame fit (one batched multi-start solve,
+        # solve/init.py::make_start_set) before the two-stage chain.
+        # Measured on video1 at 720x1280 (CPU f64 probe, round 5): the
+        # independently-achievable per-frame error is 5.07 px mean while
+        # the span-data-init two-stage lands at 7.99 px — the anchor/
+        # window warm-start chain loses basins that per-frame multi-start
+        # recovers; the residual gap to the two-stage result is the
+        # temporal + shared-shape pull, which is the objective's
+        # preference, not a solver loss.
+        from smpltpu.solve import (best_of_starts, build_fitter,
+                                   make_single_frame_problem,
+                                   make_start_set)
+        # freeze_scale=True: the two-stage chain freezes the per-frame
+        # scale dof (gauge fix) and the reference's log.csv eval DISCARDS
+        # scale (Utils.h:102-116 quirk) — a seed fitted at s != 1 would
+        # be frozen there and evaluated at 1 (measured: 125 px mean).
+        # Freezing s=1 in the seeding fit costs nothing in image space:
+        # projection is invariant to uniform scaling about the camera
+        # center, so any (s, t) optimum has the exact equivalent
+        # (1, t / s) that the free translation reaches.
+        prob_ms = make_single_frame_problem(
+            model, init_root_rotation(), cam,
+            beta_pose=opts["beta_pose"], beta_shape=opts["beta_shape"],
+            freeze_scale=True)
+        starts = make_start_set(kp, prob_ms.spec, cam,
+                                orient=opts["orient_init"])
+        s_dim = starts.shape[1]
+        fit_ms = build_fitter(prob_ms, max_iters=100, dtype=dtype,
+                              chunk=0 if n_frames * s_dim <= 640 else 128)
+        st_ms = fit_ms(jnp.asarray(starts.reshape(n_frames * s_dim, -1),
+                                   dtype),
+                       jnp.asarray(np.repeat(kp, s_dim, axis=0), dtype))
+        xb, _, _ = best_of_starts(st_ms, n_frames, s_dim)
+        poses = np.asarray(xb, np.float32).copy()
+        print(f"[INFO] multi-start seeding: {n_frames} frames x {s_dim} "
+              "starts, best-of-starts params seed the two-stage chain")
+    elif opts["data_init"]:
         # framework extension (NOT reference behavior, which inits every
         # frame blindly at s=1, t=(0,0,3) — main_multi_frame.cpp:88-102):
         # closed-form per-frame depth/translation from the detections
         # (solve/init.py). Seeds BOTH stage-1 anchors and the stage-2
         # window starts, attacking the cold-init basin lottery the single
         # CLI's --multi-start addresses (docs/ROADMAP.md accuracy row).
-        # Round 5: the ROOT ORIENTATION is estimated too (weak-perspective
-        # Procrustes over the torso detections) unless --no-orient-init —
-        # at init time every per-frame R0 is still init_root_rotation(),
-        # matching the rest_joints_cam convention the estimator assumes
-        # (write-back accumulation only mutates r0 AFTER fitting).
+        # Round 5: --orient-init additionally estimates the ROOT
+        # ORIENTATION (weak-perspective Procrustes over the torso
+        # detections) — OPT-IN here, unlike the single CLI, because it
+        # was measured WORSE for the coupled two-stage chain on video1
+        # at 720x1280 (golden mean 7.99 -> 10.9 px: comparable init
+        # error, worse anchor basins under the shared-shape solve — see
+        # docs/ROADMAP.md round-5 entry). At init time every per-frame
+        # R0 is still init_root_rotation(), matching the rest_joints_cam
+        # convention the estimator assumes (write-back accumulation only
+        # mutates r0 AFTER fitting).
         from smpltpu.solve.init import estimate_frame_init, rest_joints_cam
         rest = rest_joints_cam(spec)
         n_j = len(spec.parents)

@@ -264,8 +264,11 @@ def main(argv=None) -> int:
         if opts["calib"] is not None:
             print("[WARN] --calib applies to --mode stream only; ignored",
                   file=sys.stderr)
-        for key, flag in (("multi_start", "--multi-start"),
-                          ("use_gmm", "--use-gmm"),
+        if opts["multi_start"]:
+            # round 5: the multi CLI supports --multi-start (frozen-scale
+            # best-of-starts seeding of the two-stage chain)
+            args.append("--multi-start")
+        for key, flag in (("use_gmm", "--use-gmm"),
                           ("freeze_scale", "--freeze-scale"),
                           ("adaptive_start", "--adaptive-start")):
             if opts[key]:

@@ -79,6 +79,12 @@ def test_fullres_two_stage_matches_golden(tmp_path):
     # vector above is the tight gate)
     assert np.abs(params - g["params"]).max() < 0.05, (
         np.abs(params - g["params"]).max())
-    # absolute sanity: the full-res fit quality itself (ROADMAP round-2:
-    # anchors 4.25 px / windows 5.81 px at this configuration)
-    assert errs.mean() < 8.0, errs.mean()
+    # absolute gate at the measured result (7.07 px mean incl. empty
+    # rows / 7.99 px nonzero). Round-5 saturation proof (docs/ROADMAP.md):
+    # independent per-frame multi-start fits reach 5.07 px mean on this
+    # fixture, and EVERY seeding/anchor-density lever measured makes the
+    # coupled two-stage result WORSE (orient-init 10.9, frozen-scale
+    # multi-start seeds 10.26, skip=5 10.71, skip=1 14.66 vs shipped
+    # 7.99) — the temporal + locked-shared-shape pull owns the gap, so
+    # the gate pins the measured optimum with ~6% headroom.
+    assert errs.mean() < 7.5, errs.mean()

@@ -47,23 +47,48 @@ def test_video_driver_forwards_adaptive_flags_single(tmp_path, monkeypatch):
 
 def test_video_driver_multi_defaults_data_init(tmp_path, monkeypatch):
     """The one-command driver's multi mode uses the framework's best
-    path: --data-init (with the round-5 orient estimate) by default,
-    --no-orient-init forwarded."""
+    measured path: --data-init (span init — orientation seeding measured
+    WORSE for the coupled two-stage chain, ROADMAP round-5) by default;
+    --multi-start forwards to the multi CLI's seeding mode."""
     got = _capture_driver(tmp_path, monkeypatch, [])
     opts = multi_cli.parse_args(got)
-    assert opts["data_init"] is True and opts["orient_init"] is True
+    assert opts["data_init"] is True and opts["orient_init"] is False
+    assert opts["multi_start"] is False
 
-    got = _capture_driver(tmp_path, monkeypatch, ["--no-orient-init"])
+    got = _capture_driver(tmp_path, monkeypatch, ["--multi-start"])
     opts = multi_cli.parse_args(got)
-    assert opts["data_init"] is True and opts["orient_init"] is False
+    assert opts["multi_start"] is True
 
 
-def test_multi_cli_parses_no_orient_init():
+def test_multi_cli_parses_orient_and_multistart():
     opts = multi_cli.parse_args(["m.npz", "k", "i", "o", "--data-init",
-                                 "--no-orient-init"])
-    assert opts["data_init"] is True and opts["orient_init"] is False
+                                 "--orient-init"])
+    assert opts["data_init"] is True and opts["orient_init"] is True
     opts = multi_cli.parse_args(["m.npz", "k", "i", "o", "--data-init"])
-    assert opts["orient_init"] is True
+    assert opts["orient_init"] is False
+    opts = multi_cli.parse_args(["m.npz", "k", "i", "o", "--multi-start"])
+    assert opts["multi_start"] is True
+
+
+def test_multi_cli_multistart_seeding_end_to_end(tmp_path, rng):
+    """--multi-start seeds the two-stage chain with frozen-scale
+    best-of-starts fits; the run must complete and the seeding must not
+    leave fitted scale != 1 in the seeds (the scale-discarding log.csv
+    eval would blow up — measured 125 px with free-scale seeds)."""
+    import os
+
+    model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng)
+    out = str(tmp_path / "out_ms")
+    rc = multi_cli.main([model_path, kp_dir, img_dir, out,
+                         "10", "10", "2", "4", "1", "5.0", "0.0", "3.0",
+                         "--batched-windows", "--multi-start",
+                         "--init-from-anchors", "--s2-iters", "5"])
+    assert rc == 0
+    rows = open(os.path.join(out, "log.csv")).read().splitlines()[1:]
+    assert rows
+    errs = np.array([float(r.split(",")[1]) for r in rows])
+    # toy fixture fits to a few px; a scale-quirk regression reads 100s
+    assert errs.max() < 50.0, errs
 
 
 # ---- GMM beta pathology warning (VERDICT r4 #7) ----
