@@ -134,6 +134,42 @@ def main():
               f"({ch / tf:.0f} fps)  -> kernel ~"
               f"{(tf - t1) * 1e3 / ch:.3f} ms/frame")
 
+        # RP_ABLATE=1: incremental ablation INSIDE one jit per stage so
+        # the splits add up under the same XLA fusion/overlap regime the
+        # e2e number runs in (separately-jitted phase timings do NOT add:
+        # the round-4 0.47+0.84+4.2 vs 3.9 ms discrepancy). Stages:
+        #   bin     = setup + sort-binning + worklist build (inputs forced)
+        #   kernel  = bin + the Pallas kernel (compacted output, no gather)
+        #   full    = kernel + gather/crop/covered epilogue
+        # Each stage includes everything before it -> differences are the
+        # marginal cost of that stage under fusion.
+        if os.environ.get("RP_ABLATE", "0") == "1":
+            def make_stage(stop):
+                @jax.jit
+                def fn(vs):
+                    def one(v):
+                        r = pr.rasterize_tiled(
+                            v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
+                            max_chunks=mc, big_cap=bc, span_y=sy,
+                            span_x=sx, edge_mode=edge_mode, act_cap=ac,
+                            _stop_after=stop)
+                        if stop == "bin":
+                            return r
+                        if stop == "kernel":
+                            return r.sum()
+                        return r[0].sum().astype(jnp.int32)
+                    return jax.vmap(one)(vs)
+                return fn
+
+            tb = bench(make_stage("bin"), vj)
+            tk = bench(make_stage("kernel"), vj)
+            tg = bench(make_stage("full"), vj)
+            print(f"ablate[{w_r}x{h_r}]: bin {tb * 1e3 / ch:.3f} | "
+                  f"+kernel {(tk - tb) * 1e3 / ch:.3f} | "
+                  f"+gather {(tg - tk) * 1e3 / ch:.3f} | "
+                  f"total {tg * 1e3 / ch:.3f} ms/frame "
+                  f"(vs full-jit {tf * 1e3 / ch:.3f})")
+
         # RP_CHECK=1: pixel-parity of the COMPILED Mosaic kernel against
         # the INTERPRET-mode tiled kernel on the live backend (interpret
         # lowers the pallas_call to plain XLA ops). The test suite pins

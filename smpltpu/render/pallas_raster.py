@@ -440,6 +440,12 @@ def rasterize_tiled(
                               # any frame). Active ranks beyond act_cap
                               # render as BACKGROUND — size it to the
                               # frame (see _build_worklist).
+    _stop_after: str = "full",  # profiling ablation (scripts/
+                              # profile_raster.py RP_ABLATE): "bin" stops
+                              # after phase 1 + worklist build (returns a
+                              # checksum forcing all kernel inputs),
+                              # "kernel" returns the compacted kernel
+                              # output without the gather/crop epilogue
 ):
     """Rasterize one frame with the tile-binned kernel. Returns
     (gray (H, W) uint8, covered (H, W) bool) — same contract/semantics as
@@ -536,6 +542,10 @@ def rasterize_tiled(
     if edge_mode not in ("rows", "vpu", "mxu"):
         raise ValueError(
             f"edge_mode must be 'rows', 'vpu' or 'mxu', got {edge_mode!r}")
+    if _stop_after == "bin":
+        # force every kernel input (same producer graph, no pallas_call)
+        return (scal.sum() + edge_sorted.sum() + key_sorted.sum()
+                + gedge.sum() + gkey.sum() + active.sum())
     out = pl.pallas_call(
         partial(_raster_kernel, edge_mode=edge_mode, n_tiles=n_tiles,
                 n_l=n_l, act_cap=act_cap),
@@ -544,6 +554,8 @@ def rasterize_tiled(
         grid_spec=grid_spec,
         interpret=interpret,
     )(scal, edge_sorted, key_sorted, gedge, gkey)
+    if _stop_after == "kernel":
+        return out
 
     # expand the compacted output back to the tile grid with a GATHER
     # (TPU-friendly; the inverse scatter would lower to a slice loop):

@@ -489,18 +489,24 @@ def fit_adaptive(
                               lm_cfg=lm_cfg, chunk=chunk)
     px_eval = build_px_eval(prob)
 
+    import jax
+
     kp_j = jnp.asarray(kp_batch, dtype)
     st_a = fitter(jnp.asarray(x0, dtype), kp_j)
-    px_a = np.asarray(px_eval(st_a.x, kp_j))
-
-    # np.array (copy): np.asarray of a jax.Array is a read-only view and
-    # the phase-2 escalation writes into these
-    x = np.array(st_a.x)
-    cost = np.array(st_a.cost)
-    conv = np.array(st_a.converged)
-    iters = np.array(st_a.iters_run)
-    hist = np.array(st_a.cost_history)
-    px = px_a.copy()
+    # ONE batched device_get for all phase-A outputs: on a remote backend
+    # (axon tunnel, ~28 ms round-trip floor) six separate np.array pulls
+    # pay six round trips; device_get of the tuple pays one.
+    x, cost, conv, iters, hist, px_a = jax.device_get(
+        (st_a.x, st_a.cost, st_a.converged, st_a.iters_run,
+         st_a.cost_history, px_eval(st_a.x, kp_j)))
+    # np.array (copy): device_get can return read-only views and the
+    # phase-2 escalation writes into these
+    x = np.array(x)
+    cost = np.array(cost)
+    conv = np.array(conv)
+    iters = np.array(iters)
+    hist = np.array(hist)
+    px = np.array(px_a)
     escalated = np.zeros(f_dim, bool)
 
     hard = np.nonzero(px_a > px_thresh)[0]
@@ -518,19 +524,23 @@ def fit_adaptive(
         xb0 = jnp.asarray(starts.reshape(hard.size * s_dim, -1), dtype)
         kp_b = jnp.asarray(np.repeat(kp_batch[hard], s_dim, axis=0), dtype)
         st_b = fitter(xb0, kp_b)
-        px_b = np.asarray(px_eval(st_b.x, kp_b)).reshape(hard.size, s_dim)
-        cost_b = np.asarray(st_b.cost).reshape(hard.size, s_dim)
+        # one batched pull, as in phase A
+        x_b, cost_bf, conv_b, iters_b, hist_b, px_bf = jax.device_get(
+            (st_b.x, st_b.cost, st_b.converged, st_b.iters_run,
+             st_b.cost_history, px_eval(st_b.x, kp_b)))
+        px_b = px_bf.reshape(hard.size, s_dim)
+        cost_b = cost_bf.reshape(hard.size, s_dim)
         best = np.argmin(cost_b, axis=1)
         rows = np.arange(hard.size)
         better = cost_b[rows, best] < cost[hard]
         sel = hard[better]
         flat = rows[better] * s_dim + best[better]
-        x[sel] = np.asarray(st_b.x)[flat]
+        x[sel] = x_b[flat]
         cost[sel] = cost_b[rows[better], best[better]]
         px[sel] = px_b[rows[better], best[better]]
-        conv[sel] = np.asarray(st_b.converged)[flat]
-        iters[sel] = np.asarray(st_b.iters_run)[flat]
-        hist[sel] = np.asarray(st_b.cost_history)[flat]
+        conv[sel] = conv_b[flat]
+        iters[sel] = iters_b[flat]
+        hist[sel] = hist_b[flat]
         escalated[sel] = True
 
     return AdaptiveResult(x, cost, px, conv, iters, hist, hard, escalated)
