@@ -28,6 +28,8 @@ Two mitigations, both TPU-cheap because fitting is batched:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from smpltpu.energy.params import frame_param_layout, init_frame_params
@@ -471,7 +473,26 @@ def fit_adaptive(
 
     from smpltpu.solve.single_frame import build_fitter
 
+    import jax
+
     dtype = jnp.float32 if dtype is None else dtype
+
+    # SMPLTPU_TIME_ADAPTIVE=1: phase timing to stderr (TPU attribution)
+    _timing = os.environ.get("SMPLTPU_TIME_ADAPTIVE", "0") == "1"
+    if _timing:
+        import sys as _sys
+        import time as _time
+        _t = {"start": _time.perf_counter()}
+
+        def _mark(name):
+            now = _time.perf_counter()
+            print(f"[fit_adaptive] {name}: "
+                  f"{(now - _t['start']) * 1e3:.0f} ms", file=_sys.stderr)
+            _t["start"] = now
+    else:
+        def _mark(name):
+            pass
+
     kp_batch = np.asarray(kp_batch)
     f_dim = kp_batch.shape[0]
     n_j = len(prob.spec.parents)
@@ -483,16 +504,17 @@ def fit_adaptive(
                    for f in range(f_dim)])
     if n_extra:
         x0 = np.concatenate([x0, np.zeros((f_dim, n_extra))], axis=-1)
+    _mark("x0 build")
 
     if fitter is None:
         fitter = build_fitter(prob, max_iters=max_iters, dtype=dtype,
                               lm_cfg=lm_cfg, chunk=chunk)
     px_eval = build_px_eval(prob)
 
-    import jax
-
     kp_j = jnp.asarray(kp_batch, dtype)
     st_a = fitter(jnp.asarray(x0, dtype), kp_j)
+    jax.block_until_ready(st_a.x)
+    _mark("phase-A fit")
     # ONE batched device_get for all phase-A outputs: on a remote backend
     # (axon tunnel, ~28 ms round-trip floor) six separate np.array pulls
     # pay six round trips; device_get of the tuple pays one.
@@ -508,6 +530,7 @@ def fit_adaptive(
     hist = np.array(hist)
     px = np.array(px_a)
     escalated = np.zeros(f_dim, bool)
+    _mark("phase-A pull")
 
     hard = np.nonzero(px_a > px_thresh)[0]
     if hard.size:
@@ -542,6 +565,7 @@ def fit_adaptive(
         iters[sel] = iters_b[flat]
         hist[sel] = hist_b[flat]
         escalated[sel] = True
+        _mark(f"phase-B ({hard.size} hard x {s_dim} starts)")
 
     return AdaptiveResult(x, cost, px, conv, iters, hist, hard, escalated)
 
