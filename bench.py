@@ -265,6 +265,35 @@ def main():
         f"-> {fps:.0f} frames/s end-to-end; stage-2 runs: "
         f"{[f'{t * 1e3:.0f}ms' for t in times]}")
 
+    if (os.environ.get("BENCH_FUSE_STAGES", "0") == "1"
+            and mesh is None and chunk == 0):
+        # A/B (VERDICT r4 #8): the whole two-stage chain as ONE compiled
+        # dispatch — stage-1, in-graph anchor interpolation, stage-2 —
+        # vs the sequential dispatches above (solve/two_stage.py; host
+        # interpolation + one tunnel round trip leave the timed path).
+        # Equality vs the sequential recipe pinned by tests/test_two_stage.
+        from smpltpu.solve import build_fused_two_stage
+        fused_fit = build_fused_two_stage(
+            spec, cam, cfg1, cfg, 10, anchor_idx, starts, WSIZE, N_FRAMES)
+        t0 = time.perf_counter()
+        fused_fit(*args1[:4], kpj, r0, vj)[1].params.block_until_ready()
+        log(f"bench: fused two-stage compile+first "
+            f"{time.perf_counter() - t0:.1f}s")
+        times_f = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            f1, f2 = fused_fit(*args1[:4], kpj, r0, vj)
+            f2.params.block_until_ready()
+            times_f.append(time.perf_counter() - t0)
+        fps_f = N_FRAMES / min(times_f)
+        log(f"bench: FUSED single-dispatch pipeline {min(times_f) * 1e3:.0f}"
+            f" ms -> {fps_f:.0f} frames/s (sequential: {fps:.0f}); runs: "
+            f"{[f'{t * 1e3:.0f}ms' for t in times_f]}")
+        log(json.dumps({
+            "metric": "fused_two_stage_frames_per_sec",
+            "value": round(fps_f, 1), "unit": "frames/sec",
+            "sequential_fps": round(fps, 1)}))
+
     try:  # peak device memory (the 100k-frame scaling row needs it)
         ms = jax.local_devices()[0].memory_stats()
         if ms and "peak_bytes_in_use" in ms:

@@ -34,3 +34,4 @@ from smpltpu.solve.single_frame import (  # noqa: F401
     fit_frames,
     make_single_frame_problem,
 )
+from smpltpu.solve.two_stage import build_fused_two_stage  # noqa: F401
