@@ -715,18 +715,25 @@ def main():
             # BENCH_SINGLE_ORIENT=0: disable the weak-perspective root-
             # orientation init (round-5 A/B of the round-4 default)
             a_orient = os.environ.get("BENCH_SINGLE_ORIENT", "1") == "1"
+            # BENCH_SINGLE_PROPAGATE=1: temporal-propagation escalation
+            # (phase P — warm-started lax.scan over the sequence for
+            # frames every static start loses; solve/init.py round 5)
+            a_prop = os.environ.get("BENCH_SINGLE_PROPAGATE", "0") == "1"
             t0 = time.perf_counter()
             res_a = fit_adaptive(prob_s, kp_s, 100, px_thresh=a_px,
-                                 fitter=fitter_s, orient=a_orient)
+                                 fitter=fitter_s, orient=a_orient,
+                                 propagate=a_prop)
             log(f"bench: single-adaptive compile+first "
                 f"{time.perf_counter() - t0:.1f}s ({n_s} frames, "
                 f"{res_a.hard_idx.size} hard @ >{a_px}px, "
-                f"orient={'on' if a_orient else 'off'})")
+                f"orient={'on' if a_orient else 'off'}, "
+                f"propagate={'on' if a_prop else 'off'})")
             ts_a = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 res_a = fit_adaptive(prob_s, kp_s, 100, px_thresh=a_px,
-                                     fitter=fitter_s, orient=a_orient)
+                                     fitter=fitter_s, orient=a_orient,
+                                     propagate=a_prop)
                 ts_a.append(time.perf_counter() - t0)
             fps_a = n_s / min(ts_a)
             uv_a = np.asarray(jax.jit(jax.vmap(
@@ -745,7 +752,8 @@ def main():
                 "value": round(fps_a, 1), "unit": "frames/sec",
                 "residual_px": round(px_a, 2),
                 "hard_frames": int(res_a.hard_idx.size),
-                "px_thresh": a_px, "orient": a_orient}))
+                "px_thresh": a_px, "orient": a_orient,
+                "propagate": a_prop}))
         t0 = time.perf_counter()
         fitter_s(x0_s, kp_fit).x.block_until_ready()
         log(f"bench: single-frame compile+first {time.perf_counter() - t0:.1f}s"

@@ -287,13 +287,15 @@ def main(argv=None) -> int:
         # R0 is still init_root_rotation(), matching the rest_joints_cam
         # convention the estimator assumes (write-back accumulation only
         # mutates r0 AFTER fitting).
-        from smpltpu.solve.init import estimate_frame_init, rest_joints_cam
+        from smpltpu.solve.init import (
+            estimate_frame_init_batch,
+            rest_joints_cam,
+        )
         rest = rest_joints_cam(spec)
         n_j = len(spec.parents)
-        for f in range(n_frames):
-            poses[f] = estimate_frame_init(
-                kp[f], rest, cam, n_joints=n_j,
-                orient=opts["orient_init"]).astype(np.float32)
+        poses[:] = estimate_frame_init_batch(
+            kp[:n_frames], rest, cam, n_joints=n_j,
+            orient=opts["orient_init"]).astype(np.float32)
     r0 = np.tile(np.asarray(init_root_rotation(), dtype=np.float32),
                  (n_frames, 1, 1))
     shape_w = np.zeros(model.num_shapes, dtype=np.float32)

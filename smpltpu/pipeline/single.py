@@ -49,7 +49,7 @@ USAGE = """usage: python -m smpltpu.pipeline.single <SMPL.npz> <kps_folder> <ima
                    [max_iters=100] [beta_pose=20] [beta_shape=30]
                    [--opt-shape] [--use-gmm] [--mesh N] [--frame-chunk N]
                    [--multi-start] [--adaptive-start] [--adaptive-thresh PX]
-                   [--no-orient-init]
+                   [--adaptive-propagate] [--no-orient-init]
 """
 
 # --use-gmm beta_pose weight above which the round-4 objective-landscape
@@ -80,6 +80,10 @@ def parse_args(argv):
         "adaptive_start": False,  # fit once from data-init, multi-start
                                   # only frames above --adaptive-thresh
         "adaptive_thresh": 6.0,
+        # phase P: temporal-propagation escalation (warm-started lax.scan
+        # over the sequence) for frames EVERY static start loses — the
+        # round-5 lever for band-hardness (solve/init.py::fit_adaptive)
+        "adaptive_propagate": False,
         # round 4: the multi-start/adaptive data init estimates the ROOT
         # ORIENTATION from the torso detections (solve/init.py::
         # estimate_root_orient); --no-orient-init restores the round-3
@@ -104,6 +108,8 @@ def parse_args(argv):
             opts["adaptive_start"] = True
         elif a == "--adaptive-thresh" and rest:
             opts["adaptive_thresh"] = float(rest.pop(0))
+        elif a == "--adaptive-propagate":
+            opts["adaptive_propagate"] = True
         elif a == "--no-orient-init":
             opts["orient_init"] = False
         elif a == "--freeze-scale":  # gauge fix: see solve/single_frame.py
@@ -335,7 +341,8 @@ def _main_adaptive(opts, ds, prob, kp, dtype) -> int:
     res = fit_adaptive(prob, kp, opts["max_iters"],
                        px_thresh=opts["adaptive_thresh"],
                        fitter=fitter, dtype=dtype,
-                       orient=opts["orient_init"])
+                       orient=opts["orient_init"],
+                       propagate=opts["adaptive_propagate"])
     first_ms = timer.ms()
     # re-run the (deterministic) solve so the logged time excludes the
     # one-off XLA compiles, matching the reference's ceres::Solve-only
@@ -344,7 +351,8 @@ def _main_adaptive(opts, ds, prob, kp, dtype) -> int:
     res = fit_adaptive(prob, kp, opts["max_iters"],
                        px_thresh=opts["adaptive_thresh"],
                        fitter=fitter, dtype=dtype,
-                       orient=opts["orient_init"])
+                       orient=opts["orient_init"],
+                       propagate=opts["adaptive_propagate"])
     total_ms = timer.ms()
     print(f"[INFO] adaptive solve: {total_ms:.1f} ms for {n_frames} frames "
           f"({res.hard_idx.size} above {opts['adaptive_thresh']:.1f}px "

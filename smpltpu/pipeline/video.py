@@ -8,7 +8,8 @@ whole chain:
     python -m smpltpu.pipeline.video <SMPL.npz> <input> <out_dir>
         [--mode multi|single|stream] [--size WxH] [--images DIR] [--fps N]
         [--no-video] [--mesh N] [--multi-start] [--freeze-scale]
-        [--adaptive-start] [--adaptive-thresh PX] [--no-orient-init]
+        [--adaptive-start] [--adaptive-thresh PX] [--adaptive-propagate]
+        [--no-orient-init]
         [--frame-chunk N] [--use-gmm] [--pose-prior FILE] [--jax-render]
         [--iters N] [--s2-iters N] [--beta-pose X] [--beta-shape X]
         [--lambda-t X] [--calib N]
@@ -49,6 +50,7 @@ def _parse(argv):
         "jax_render": False, "iters": None, "s2_iters": None,
         "beta_pose": None, "beta_shape": None, "lambda_t": None,
         "calib": None, "adaptive_start": False, "adaptive_thresh": None,
+        "adaptive_propagate": False,
         "no_orient_init": False, "frame_chunk": None,
     }
     rest = list(argv[3:])
@@ -56,6 +58,7 @@ def _parse(argv):
              "--freeze-scale": "freeze_scale", "--use-gmm": "use_gmm",
              "--jax-render": "jax_render",
              "--adaptive-start": "adaptive_start",
+             "--adaptive-propagate": "adaptive_propagate",
              "--no-orient-init": "no_orient_init"}
     valued = {"--mode": ("mode", str), "--size": ("size", str),
               "--images": ("images", str), "--fps": ("fps", float),
@@ -206,6 +209,7 @@ def main(argv=None) -> int:
                           ("--use-gmm", "use_gmm"),
                           ("--jax-render", "jax_render"),
                           ("--adaptive-start", "adaptive_start"),
+                          ("--adaptive-propagate", "adaptive_propagate"),
                           ("--no-orient-init", "no_orient_init")):
             if opts[key]:
                 args.append(flag)
@@ -233,6 +237,7 @@ def main(argv=None) -> int:
                           ("multi_start", "--multi-start"),
                           ("adaptive_start", "--adaptive-start"),
                           ("adaptive_thresh", "--adaptive-thresh"),
+                          ("adaptive_propagate", "--adaptive-propagate"),
                           ("no_orient_init", "--no-orient-init"),
                           ("frame_chunk", "--frame-chunk")):
             if opts[key]:
@@ -270,7 +275,8 @@ def main(argv=None) -> int:
             args.append("--multi-start")
         for key, flag in (("use_gmm", "--use-gmm"),
                           ("freeze_scale", "--freeze-scale"),
-                          ("adaptive_start", "--adaptive-start")):
+                          ("adaptive_start", "--adaptive-start"),
+                          ("adaptive_propagate", "--adaptive-propagate")):
             if opts[key]:
                 print(f"[WARN] {flag} applies to --mode single only; "
                       "ignored (multi freezes scale and skips the GMM "

@@ -5,13 +5,17 @@ batched on-device Levenberg-Marquardt engine."""
 from smpltpu.solve.init import (  # noqa: F401
     AdaptiveResult,
     aa_from_rotation,
+    aa_from_rotation_batch,
     best_of_starts,
     build_px_eval,
     estimate_frame_init,
+    estimate_frame_init_batch,
     estimate_root_orient,
+    estimate_root_orient_batch,
     fit_adaptive,
     make_start_set,
     rotation_from_aa,
+    rotation_from_aa_batch,
 )
 from smpltpu.solve.lm import LMConfig, LMState, lm_solve  # noqa: F401
 from smpltpu.solve.multi_frame import (  # noqa: F401

@@ -301,6 +301,271 @@ def estimate_frame_init(
     return x0
 
 
+# ---------------------------------------------------------------------------
+# Batched (vectorized-over-frames) init builders.
+#
+# The per-frame functions above are ~60 tiny numpy ops each; on this class
+# of host a Python-loop x0 build costs ~1.5-3 ms/frame — at 1000 frames
+# that is 1.5-3 s of HOST time against a ~2.7 s device fit (measured round
+# 5, the adaptive-row attribution). These batched twins vectorize every
+# branch across the frame axis (batched eigh/svd/solve loop in C, masked
+# sums replace subset gathers) and are pinned equal to per-frame loops by
+# tests/test_init_batch.py. fit_adaptive and make_start_set use them; the
+# per-frame functions remain the reference implementation (and the
+# single-frame API).
+# ---------------------------------------------------------------------------
+
+
+def rotation_from_aa_batch(aa: np.ndarray) -> np.ndarray:
+    """Rodrigues over a batch: (F, 3) -> (F, 3, 3). Matches
+    rotation_from_aa row-for-row (identity below the 1e-12 angle floor)."""
+    aa = np.asarray(aa, np.float64)
+    th = np.linalg.norm(aa, axis=1)
+    safe = np.where(th < 1e-12, 1.0, th)
+    k = aa / safe[:, None]
+    kx = np.zeros(aa.shape[:1] + (3, 3))
+    kx[:, 0, 1] = -k[:, 2]
+    kx[:, 0, 2] = k[:, 1]
+    kx[:, 1, 0] = k[:, 2]
+    kx[:, 1, 2] = -k[:, 0]
+    kx[:, 2, 0] = -k[:, 1]
+    kx[:, 2, 1] = k[:, 0]
+    r = (np.eye(3)[None] + np.sin(th)[:, None, None] * kx
+         + (1.0 - np.cos(th))[:, None, None] * (kx @ kx))
+    return np.where((th < 1e-12)[:, None, None], np.eye(3)[None], r)
+
+
+def aa_from_rotation_batch(r: np.ndarray) -> np.ndarray:
+    """Shepperd quaternion extraction over a batch: (F, 3, 3) -> (F, 3).
+    Matches aa_from_rotation row-for-row (all four branches; the batched
+    sqrt clamps its argument at 0 where the scalar version would produce
+    NaN on a numerically-degenerate non-rotation input)."""
+    r = np.asarray(r, np.float64)
+    t = np.trace(r, axis1=1, axis2=2)
+    with np.errstate(all="ignore"):
+        s0 = np.sqrt(np.maximum(t + 1.0, 0.0)) * 2.0
+        q0 = np.stack([0.25 * s0, (r[:, 2, 1] - r[:, 1, 2]) / s0,
+                       (r[:, 0, 2] - r[:, 2, 0]) / s0,
+                       (r[:, 1, 0] - r[:, 0, 1]) / s0], 1)
+        s1 = np.sqrt(np.maximum(
+            1.0 + r[:, 0, 0] - r[:, 1, 1] - r[:, 2, 2], 0.0)) * 2.0
+        q1 = np.stack([(r[:, 2, 1] - r[:, 1, 2]) / s1, 0.25 * s1,
+                       (r[:, 0, 1] + r[:, 1, 0]) / s1,
+                       (r[:, 0, 2] + r[:, 2, 0]) / s1], 1)
+        s2 = np.sqrt(np.maximum(
+            1.0 + r[:, 1, 1] - r[:, 0, 0] - r[:, 2, 2], 0.0)) * 2.0
+        q2 = np.stack([(r[:, 0, 2] - r[:, 2, 0]) / s2,
+                       (r[:, 0, 1] + r[:, 1, 0]) / s2, 0.25 * s2,
+                       (r[:, 1, 2] + r[:, 2, 1]) / s2], 1)
+        s3 = np.sqrt(np.maximum(
+            1.0 + r[:, 2, 2] - r[:, 0, 0] - r[:, 1, 1], 0.0)) * 2.0
+        q3 = np.stack([(r[:, 1, 0] - r[:, 0, 1]) / s3,
+                       (r[:, 0, 2] + r[:, 2, 0]) / s3,
+                       (r[:, 1, 2] + r[:, 2, 1]) / s3, 0.25 * s3], 1)
+        c0 = (t > 0)[:, None]
+        c1 = ((r[:, 0, 0] > r[:, 1, 1])
+              & (r[:, 0, 0] > r[:, 2, 2]))[:, None]
+        c2 = (r[:, 1, 1] > r[:, 2, 2])[:, None]
+        q = np.where(c0, q0, np.where(c1, q1, np.where(c2, q2, q3)))
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        q = np.where(q[:, :1] < 0, -q, q)
+        angle = 2.0 * np.arccos(np.clip(q[:, 0], -1.0, 1.0))
+        sn = np.linalg.norm(q[:, 1:], axis=1)
+        small = sn < 1e-12
+        aa = q[:, 1:] / np.where(small, 1.0, sn)[:, None] * angle[:, None]
+    return np.where(small[:, None], 0.0, aa)
+
+
+def estimate_root_orient_batch(
+    kp_batch: np.ndarray,   # (F, K, 4)
+    rest_cam: np.ndarray,
+    cam,
+    torso_ids=TORSO_SMPL_IDS,
+    min_pts: int = 4,
+    depth_bounds: tuple = (0.5, 15.0),
+):
+    """Vectorized :func:`estimate_root_orient`. Returns
+    ``(r (F,3,3), t (F,3), ok (F,) bool)``; frames where the per-frame
+    version would return ``None`` have ``ok=False`` (r=I, t=0). Every
+    branch — torso/all-joints fallback, collinear/planar/3D-spread
+    split, paraperspective correction, depth gates — mirrors the scalar
+    code; equality pinned by tests/test_init_batch.py."""
+    kp = np.asarray(kp_batch, np.float64)
+    f_dim = kp.shape[0]
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    eye3 = np.eye(3)[None]
+
+    with np.errstate(all="ignore"):
+        valid = kp[:, :, 3] > 0
+        jid = np.clip(kp[:, :, 0].astype(int), 0, rest_cam.shape[0] - 1)
+        torso = np.isin(jid, np.asarray(torso_ids)) & valid
+        use_torso = torso.sum(1) >= min_pts
+        sel = np.where(use_torso[:, None], torso, valid)
+        ok = sel.sum(1) >= min_pts
+        w = sel.astype(np.float64)
+        n = np.maximum(w.sum(1), 1.0)
+
+        x_all = rest_cam[jid]                                   # (F, K, 3)
+        y_all = np.stack([(kp[:, :, 1] - cx) / fx,
+                          (kp[:, :, 2] - cy) / fy], axis=2)     # (F, K, 2)
+        xm = (x_all * w[:, :, None]).sum(1) / n[:, None]
+        ym = (y_all * w[:, :, None]).sum(1) / n[:, None]
+        xc = (x_all - xm[:, None, :]) * w[:, :, None]
+        yc = (y_all - ym[:, None, :]) * w[:, :, None]
+        g = np.einsum("fki,fkj->fij", xc, xc)
+        ok &= np.isfinite(g).all((1, 2))
+        evals, evecs = np.linalg.eigh(
+            np.where(ok[:, None, None], g, eye3))
+        ok &= np.isfinite(evals).all(1) & (evals[:, 2] > 1e-12)
+        ok &= evals[:, 1] >= 1e-6 * evals[:, 2]
+        planar = evals[:, 0] < 1e-2 * evals[:, 2]
+
+        # ---- planar branch (torso in practice) ----
+        p_basis = evecs[:, :, [2, 1]]                           # (F, 3, 2)
+        xi = np.einsum("fki,fij->fkj", xc, p_basis)             # (F, K, 2)
+        m2 = np.einsum("fki,fkj->fij", xi, xi)                  # (F, 2, 2)
+        rhs = np.einsum("fki,fkj->fij", xi, yc)                 # (F, 2, 2)
+        det2 = m2[:, 0, 0] * m2[:, 1, 1] - m2[:, 0, 1] * m2[:, 1, 0]
+        s_ok = (np.isfinite(m2).all((1, 2)) & np.isfinite(rhs).all((1, 2))
+                & (det2 != 0.0))
+        a2 = np.linalg.solve(
+            np.where(s_ok[:, None, None], m2, np.eye(2)[None]),
+            np.where(s_ok[:, None, None], rhs, 0.0))
+        a2 = np.swapaxes(a2, 1, 2)                              # the .T
+        s_ok &= np.isfinite(a2).all((1, 2))
+        u2, s2, vt2 = np.linalg.svd(
+            np.where(s_ok[:, None, None], a2, np.eye(2)[None]))
+        pl_ok = s_ok & np.isfinite(s2).all(1) & (s2[:, 0] >= 1e-9)
+        alpha_p = s2[:, 0]
+        cphi = np.clip(s2[:, 1] / np.where(alpha_p == 0.0, 1.0, alpha_p),
+                       0.0, 1.0)
+        sphi = np.sqrt(1.0 - cphi * cphi)
+        dg = np.zeros((f_dim, 2, 2))
+        dg[:, 0, 0] = 1.0
+        dg[:, 1, 1] = cphi
+        top = u2 @ dg @ vt2                                     # (F, 2, 2)
+        q = np.concatenate(
+            [top, (sphi[:, None] * vt2[:, 1, :])[:, None, :]], axis=1)
+        basis3 = np.concatenate(
+            [p_basis,
+             np.cross(p_basis[:, :, 0], p_basis[:, :, 1])[:, :, None]],
+            axis=2)                                             # (F, 3, 3)
+        q3 = np.cross(q[:, :, 0], q[:, :, 1])                   # (F, 3)
+        r_pl = (np.concatenate([q, q3[:, :, None]], axis=2)
+                @ np.swapaxes(basis3, 1, 2))
+
+        # ---- 3D-spread branch ----
+        g_reg = g + 1e-12 * eye3
+        inv_ok = np.isfinite(g_reg).all((1, 2)) & (
+            np.abs(np.linalg.det(g_reg)) > 0.0)
+        m3 = np.einsum("fki,fkj->fij", yc, xc) @ np.linalg.inv(
+            np.where(inv_ok[:, None, None], g_reg, eye3))       # (F, 2, 3)
+        m3_ok = inv_ok & np.isfinite(m3).all((1, 2))
+        u_m, s_m, vt_m = np.linalg.svd(
+            np.where(m3_ok[:, None, None], m3,
+                     np.eye(2, 3)[None]))
+        ok3 = m3_ok & np.isfinite(s_m).all(1) & (s_m[:, 0] >= 1e-9)
+        alpha_3 = s_m.mean(1)
+        r2 = u_m @ vt_m[:, :2, :]                               # (F, 2, 3)
+        r_3d = np.concatenate(
+            [r2, np.cross(r2[:, 0], r2[:, 1])[:, None, :]], axis=1)
+
+        r = np.where(planar[:, None, None], r_pl, r_3d)
+        alpha = np.where(planar, alpha_p, alpha_3)
+        ok &= np.where(planar, pl_ok, ok3)
+
+        # ---- paraperspective correction ----
+        d = np.concatenate([ym, np.ones((f_dim, 1))], axis=1)
+        d = d / np.linalg.norm(d, axis=1, keepdims=True)
+        v = np.stack([-d[:, 1], d[:, 0], np.zeros(f_dim)], axis=1)
+        nv = np.linalg.norm(v, axis=1)
+        vx = np.zeros((f_dim, 3, 3))
+        vx[:, 0, 1] = -v[:, 2]
+        vx[:, 0, 2] = v[:, 1]
+        vx[:, 1, 0] = v[:, 2]
+        vx[:, 1, 2] = -v[:, 0]
+        vx[:, 2, 0] = -v[:, 1]
+        vx[:, 2, 1] = v[:, 0]
+        corr = eye3 + vx + vx @ vx / (1.0 + d[:, 2])[:, None, None]
+        r = np.where((nv > 1e-12)[:, None, None], corr @ r, r)
+
+        ok &= ((alpha >= 1.0 / depth_bounds[1])
+               & (alpha <= 1.0 / depth_bounds[0]))
+        z_bar = 1.0 / np.where(alpha == 0.0, 1.0, alpha)
+        rx_bar = np.einsum("fij,fj->fi", r, xm)
+        t = np.stack([ym[:, 0] * z_bar - rx_bar[:, 0],
+                      ym[:, 1] * z_bar - rx_bar[:, 1],
+                      z_bar - rx_bar[:, 2]], axis=1)
+        zc = t[:, 2] + rx_bar[:, 2]
+        ok &= (depth_bounds[0] * 0.5 <= zc) & (zc <= depth_bounds[1] * 2)
+
+    r = np.where(ok[:, None, None], r, eye3)
+    t = np.where(ok[:, None], t, 0.0)
+    return r, t, ok
+
+
+def estimate_frame_init_batch(
+    kp_batch: np.ndarray,   # (F, K, 4)
+    rest_cam: np.ndarray,
+    cam,
+    n_joints: int = 24,
+    depth_bounds: tuple = (0.5, 15.0),
+    min_kps: int = 4,
+    default_depth: float = 3.0,
+    orient: bool = False,
+) -> np.ndarray:
+    """Vectorized :func:`estimate_frame_init`: (F, K, 4) -> (F, P).
+    Row-for-row equal to the per-frame loop (tests/test_init_batch.py)."""
+    kp = np.asarray(kp_batch, np.float64)
+    f_dim = kp.shape[0]
+    x0 = np.tile(np.asarray(init_frame_params(
+        n_joints, depth=default_depth, dtype=np.float64)), (f_dim, 1))
+    if f_dim == 0:
+        return x0
+    valid = kp[:, :, 3] > 0
+    proc = valid.sum(1) >= min_kps
+    if not proc.any():
+        return x0
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    done = np.zeros(f_dim, bool)
+    if orient:
+        r_b, t_b, ok_o = estimate_root_orient_batch(
+            kp, rest_cam, cam, depth_bounds=depth_bounds)
+        use = proc & ok_o
+        if use.any():
+            x0[use, 1:4] = aa_from_rotation_batch(r_b[use])
+            x0[use, 4:7] = np.clip(
+                t_b[use], [-50.0, -50.0, depth_bounds[0]],
+                [50.0, 50.0, depth_bounds[1]])
+            done |= use
+    span = proc & ~done
+    if span.any():
+        with np.errstate(all="ignore"):
+            jid = np.clip(kp[:, :, 0].astype(int), 0,
+                          rest_cam.shape[0] - 1)
+            w = valid.astype(np.float64)
+            n = np.maximum(w.sum(1), 1.0)
+            upix, vpix = kp[:, :, 1], kp[:, :, 2]
+            span_px = (np.where(valid, vpix, -np.inf).max(1)
+                       - np.where(valid, vpix, np.inf).min(1))
+            ry = rest_cam[jid, 1]
+            span_m = (np.where(valid, ry, -np.inf).max(1)
+                      - np.where(valid, ry, np.inf).min(1))
+            good = span & (span_px >= 1.0) & (span_m > 0.0)
+            z = np.clip(fy * span_m / np.where(span_px == 0.0, 1.0,
+                                               span_px), *depth_bounds)
+            tx = ((upix * w).sum(1) / n - cx) * z / fx \
+                - (rest_cam[jid, 0] * w).sum(1) / n
+            ty = ((vpix * w).sum(1) / n - cy) * z / fy \
+                - (ry * w).sum(1) / n
+        x0[good, 4] = tx[good]
+        x0[good, 5] = ty[good]
+        x0[good, 6] = z[good]
+    return x0
+
+
 def make_start_set(
     kp_batch: np.ndarray,   # (F, K, 4)
     spec,
@@ -338,36 +603,44 @@ def make_start_set(
     rest = rest_joints_cam(spec)
     n_j = len(spec.parents)
     p_dim = frame_param_layout(n_j)["total"]
-    starts = []
+    f_dim = kp_batch.shape[0]
     necker = np.diag([1.0, 1.0, -1.0])
-    for f in range(kp_batch.shape[0]):
-        base = estimate_frame_init(kp_batch[f], rest, cam, n_joints=n_j,
-                                   orient=orient)
-        r_est = (rotation_from_aa(base[1:4])
-                 if orient and np.any(base[1:4] != 0.0) else None)
-        row = []
-        for yaw in yaws:
-            v = base.copy()
+    # batched base inits (pinned equal to the per-frame loop by
+    # tests/test_init_batch.py; the loop cost ~1.5-3 ms/frame of host
+    # time — see the batched-builders comment above)
+    base = estimate_frame_init_batch(np.asarray(kp_batch, np.float64),
+                                     rest, cam, n_joints=n_j,
+                                     orient=orient)
+    have_r = (np.any(base[:, 1:4] != 0.0, axis=1) if orient
+              else np.zeros(f_dim, bool))
+    r_est = rotation_from_aa_batch(base[:, 1:4])
+    rows = []
+    for yaw in yaws:
+        v = base.copy()
+        # frames without an orientation estimate keep the round-2
+        # absolute-yaw behavior (rotation about the camera-frame y axis)
+        v[~have_r, 2] = yaw
+        if have_r.any():
             # tolerant matching (np.isclose, not ==): a caller-supplied
             # yaw grid with a near-pi value must still get the Necker
             # flip, and a near-zero value the plain base start
-            if r_est is None:
-                v[2] = yaw   # rotation about the camera-frame y axis slot
-            elif np.isclose(abs(yaw), np.pi):
-                v[1:4] = aa_from_rotation(necker @ r_est @ necker)
+            if np.isclose(abs(yaw), np.pi):
+                v[have_r, 1:4] = aa_from_rotation_batch(
+                    necker[None] @ r_est[have_r] @ necker[None])
             elif not np.isclose(yaw, 0.0):
-                v[1:4] = aa_from_rotation(
-                    rotation_from_aa(np.array([0.0, yaw, 0.0])) @ r_est)
-            row.append(v)
-        if include_reference_init:
-            row.append(np.asarray(init_frame_params(n_j, dtype=np.float64)))
-        if pose_seeds is not None:
-            for seed in np.asarray(pose_seeds, np.float64):
-                v = base.copy()
-                v[7:p_dim] = seed
-                row.append(v)
-        starts.append(np.stack(row))
-    out = np.stack(starts)                      # (F, S, P)
+                v[have_r, 1:4] = aa_from_rotation_batch(
+                    rotation_from_aa(np.array([0.0, yaw, 0.0]))[None]
+                    @ r_est[have_r])
+        rows.append(v)
+    if include_reference_init:
+        rows.append(np.tile(np.asarray(
+            init_frame_params(n_j, dtype=np.float64)), (f_dim, 1)))
+    if pose_seeds is not None:
+        for seed in np.asarray(pose_seeds, np.float64):
+            v = base.copy()
+            v[:, 7:p_dim] = seed
+            rows.append(v)
+    out = np.stack(rows, axis=1)                # (F, S, P)
     if n_extra_dims > 0:
         out = np.concatenate(
             [out, np.zeros(out.shape[:2] + (n_extra_dims,))], axis=-1)
@@ -439,8 +712,10 @@ def fit_adaptive(
     yaws=(np.pi / 2, -np.pi / 2, np.pi),
     fitter=None,
     orient: bool = True,
+    propagate: bool = False,
+    propagate_iters: int = 30,
 ):
-    """Adaptive multi-start single-frame fitting (two phases, batched):
+    """Adaptive multi-start single-frame fitting (batched phases):
 
     1. fit EVERY frame once from the data-driven init (the cheapest start,
        ``estimate_frame_init``);
@@ -449,25 +724,47 @@ def fit_adaptive(
        remaining start hypotheses (the extra ``yaws`` around the data
        init + the reference's blind init, i.e. exactly the starts
        ``make_start_set`` would have added), keeping each hard frame's
-       lowest-cost result across ALL its starts.
+       lowest-cost result across ALL its starts;
+    3. (``propagate=True``, opt-in) TEMPORAL PROPAGATION for frames still
+       above the threshold: one ``lax.scan`` of warm-started solves over
+       the whole frame sequence (the streaming machinery,
+       :func:`smpltpu.solve.online.build_online_scan`, with the temporal
+       tether weight ZERO — so each per-frame objective is exactly the
+       phase-1 problem and only the START comes from the previous frame's
+       optimum), forward then — if hard frames remain — backward over the
+       reversed sequence; a frame adopts a propagated result only when it
+       is still above ``px_thresh`` and the propagated pixel error is
+       strictly better. The same trick the reference's own two-stage
+       driver uses to warm-start windows from their neighbors
+       (src/main_multi_frame.cpp:85-102,172), applied to the per-frame
+       path: on motion where whole bands of frames are unreachable from
+       ANY static start (the 1000-frame bench ramp: 873/1000 hard,
+       13.96 px final — BASELINE round-5), the one well-fitted neighbor
+       basin walks down the band.
 
     The full ``--multi-start`` path fits F x 5 solves to fix the few
     frames the blind init loses (src/main_single_frame.cpp:208-224); this
     pays the 5x only where phase 1 demonstrably failed. A frame phase 1
     got under the threshold keeps its (possibly improvable) basin — the
-    quality target is the MEAN error, and the measured gap vs always-on
-    multi-start is well inside it (see BASELINE.md round-4 row).
+    quality target is the MEAN error; the escalated frames' optima equal
+    the full multi-start best over the same start set
+    (tests/test_adaptive.py), and the TPU-measured rows live in
+    BASELINE.md round-5 (sweep log
+    docs/measurements/bench_sweep_r5_20260820.log).
 
     ``fitter``: pass a prebuilt/preshared build_fitter result to reuse its
     compile cache; default builds one with (max_iters, lm_cfg, chunk).
 
     ``orient=True`` (default): phase A starts from the weak-perspective
     root-orientation estimate (:func:`estimate_root_orient`) and phase B's
-    yaw hypotheses compose around it — measured on the 1000-frame bench
-    workload (root rotation ramping to ~2.2 rad) this is the difference
-    between 871/1000 frames hard at 13.96 px final (identity-orientation
-    init, not recoverable by yaw-only starts) and phase A landing in the
-    right basin directly. ``orient=False`` restores the round-3 behavior.
+    yaw hypotheses compose around it. Round-5 TPU measurement
+    (BASELINE.md round-5, ROADMAP): the benefit is WORKLOAD-DEPENDENT —
+    on the easy 128-frame bench prefix the estimator's misfires CREATE
+    hard frames (17 vs 0, 3.02 vs 2.73 px), and on the hard 1000-frame
+    amplitude ramp it buys only 13.20 vs 13.96 px (888 vs 873 hard; the
+    hardness there is ARTICULATION amplitude, which no root-orientation
+    estimate addresses — ``propagate`` is the lever that does).
+    ``orient=False`` restores the round-3 behavior.
     Returns :class:`AdaptiveResult` (numpy)."""
     import jax.numpy as jnp
 
@@ -499,9 +796,8 @@ def fit_adaptive(
     n_extra = prob.n_shapes if prob.opt_shape else 0
     rest = rest_joints_cam(prob.spec)
 
-    x0 = np.stack([estimate_frame_init(kp_batch[f], rest, prob.cam,
-                                       n_joints=n_j, orient=orient)
-                   for f in range(f_dim)])
+    x0 = estimate_frame_init_batch(kp_batch, rest, prob.cam,
+                                   n_joints=n_j, orient=orient)
     if n_extra:
         x0 = np.concatenate([x0, np.zeros((f_dim, n_extra))], axis=-1)
     _mark("x0 build")
@@ -567,7 +863,72 @@ def fit_adaptive(
         escalated[sel] = True
         _mark(f"phase-B ({hard.size} hard x {s_dim} starts)")
 
+    if propagate and prob.opt_shape:
+        import sys
+        print("[WARN] fit_adaptive: propagate is pose-only (the streaming "
+              "scan it reuses locks shape) — skipping phase P for this "
+              "--opt-shape problem", file=sys.stderr)
+    if propagate and not prob.opt_shape and (px > px_thresh).any():
+        scan = _propagate_scan(prob, propagate_iters, dtype)
+        shape0 = jnp.zeros(prob.n_shapes, dtype)
+
+        def one_pass(order):
+            kp_o = jnp.asarray(kp_batch[order], dtype)
+            xs, costs_p, iters_p, _solved, conv_p = scan(
+                jnp.asarray(x[order[0]], dtype), shape0, kp_o, 1.0)
+            # one batched pull (remote backends pay ~28 ms per round trip)
+            x_p, c_p, i_p, cv_p, px_p = jax.device_get(
+                (xs, costs_p, iters_p, conv_p, px_eval(xs, kp_o)))
+            inv = np.empty_like(order)
+            inv[order] = np.arange(order.size)
+            return x_p[inv], c_p[inv], i_p[inv], cv_p[inv], px_p[inv]
+
+        for order in (np.arange(f_dim), np.arange(f_dim)[::-1]):
+            still = px > px_thresh
+            if not still.any():
+                break
+            x_p, c_p, i_p, cv_p, px_p = one_pass(order)
+            # adopt only where BOTH the pixel error and the (identical-
+            # objective) cost strictly improve — keeps the never-regress-
+            # phase-A invariant while targeting the px quality metric
+            sel_p = still & (px_p < px) & (c_p < cost)
+            if sel_p.any():
+                x[sel_p] = x_p[sel_p]
+                cost[sel_p] = c_p[sel_p]
+                px[sel_p] = px_p[sel_p]
+                iters[sel_p] = i_p[sel_p]
+                conv[sel_p] = cv_p[sel_p]
+                escalated[sel_p] = True
+            _mark(f"phase-P ({int(sel_p.sum())} adopted of "
+                  f"{int(still.sum())} still hard)")
+
     return AdaptiveResult(x, cost, px, conv, iters, hist, hard, escalated)
+
+
+# build_online_scan memoization for fit_adaptive's propagation phase —
+# same rationale as _PX_EVAL_CACHE (a fresh jax.jit wrapper per call
+# recompiles every call)
+_PROP_SCAN_CACHE: dict = {}
+
+
+def _propagate_scan(prob, max_iters: int, dtype):
+    key = (id(prob), int(max_iters), dtype)
+    hit = _PROP_SCAN_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    from smpltpu.solve.online import OnlineConfig, build_online_scan
+
+    # lambda_temporal=0: the tether rows vanish (zero residual AND zero
+    # Jacobian — pinned by tests/test_online.py), so each scanned frame
+    # solves EXACTLY the phase-1 per-frame objective (same priors, same
+    # frozen joints, same scale bounds); only the warm start is temporal.
+    cfg = OnlineConfig(beta_pose=prob.beta_pose, lambda_temporal=0.0,
+                       max_iters=max_iters,
+                       freeze_scale=prob.freeze_scale)
+    fn = build_online_scan(prob.spec, prob.cam, cfg, prob.n_joints,
+                           gmm=prob.gmm, dtype=dtype)
+    _cache_put(_PROP_SCAN_CACHE, key, (prob, fn))
+    return fn
 
 
 def best_of_starts(states, f_dim: int, s_dim: int):
