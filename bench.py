@@ -265,13 +265,19 @@ def main():
         f"-> {fps:.0f} frames/s end-to-end; stage-2 runs: "
         f"{[f'{t * 1e3:.0f}ms' for t in times]}")
 
-    if (os.environ.get("BENCH_FUSE_STAGES", "0") == "1"
-            and mesh is None and chunk == 0):
-        # A/B (VERDICT r4 #8): the whole two-stage chain as ONE compiled
-        # dispatch — stage-1, in-graph anchor interpolation, stage-2 —
-        # vs the sequential dispatches above (solve/two_stage.py; host
-        # interpolation + one tunnel round trip leave the timed path).
-        # Equality vs the sequential recipe pinned by tests/test_two_stage.
+    # The whole two-stage chain as ONE compiled dispatch — stage-1,
+    # in-graph anchor interpolation, stage-2 (solve/two_stage.py; the
+    # host interpolation loop + one tunnel round trip leave the timed
+    # path). Round-5 sweep: 1830 fps vs 1760 sequential in the SAME
+    # bench invocation (bench_sweep_r5_20260820.log) — SHIPPED as the
+    # headline path for the single-chip unchunked config.
+    # BENCH_FUSE_STAGES=0 restores the sequential headline; mesh/chunk
+    # configs keep the sequential dispatches (the fused program is
+    # single-chip, whole-batch). Equality vs the sequential recipe is
+    # pinned by tests/test_two_stage.py; the residual below is computed
+    # from whichever result the headline quotes.
+    fuse_ok = mesh is None and chunk == 0
+    if fuse_ok and os.environ.get("BENCH_FUSE_STAGES", "1") == "1":
         from smpltpu.solve import build_fused_two_stage
         fused_fit = build_fused_two_stage(
             spec, cam, cfg1, cfg, 10, anchor_idx, starts, WSIZE, N_FRAMES)
@@ -287,12 +293,14 @@ def main():
             times_f.append(time.perf_counter() - t0)
         fps_f = N_FRAMES / min(times_f)
         log(f"bench: FUSED single-dispatch pipeline {min(times_f) * 1e3:.0f}"
-            f" ms -> {fps_f:.0f} frames/s (sequential: {fps:.0f}); runs: "
-            f"{[f'{t * 1e3:.0f}ms' for t in times_f]}")
+            f" ms -> {fps_f:.0f} frames/s (sequential: {fps:.0f}) — the "
+            f"headline; runs: {[f'{t * 1e3:.0f}ms' for t in times_f]}")
         log(json.dumps({
             "metric": "fused_two_stage_frames_per_sec",
             "value": round(fps_f, 1), "unit": "frames/sec",
             "sequential_fps": round(fps, 1)}))
+        fps = fps_f
+        st = f2   # residual + render write-back reflect the shipped path
 
     try:  # peak device memory (the 100k-frame scaling row needs it)
         ms = jax.local_devices()[0].memory_stats()
