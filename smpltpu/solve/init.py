@@ -143,9 +143,14 @@ def estimate_root_orient(
     Why: the reference's blind init (src/main_single_frame.cpp:219-224)
     AND the repo's span-based data init both start at identity root
     orientation; on frames whose true root rotation exceeds ~1 rad the
-    robustified energy's basin is unreachable from there (measured on the
-    bench workload: 871/1000 frames stuck >6 px, yaw-only multi-start
-    unable to recover non-yaw rotations). This estimator reads the
+    robustified energy's basin is unreachable from there, and a yaw-only
+    multi-start cannot recover non-yaw rotations (measured on the
+    1000-frame bench ramp: 873/1000 frames stuck >6 px, 13.96 px mean
+    after escalating all of them —
+    docs/measurements/bench_sweep_r5_20260820.log adapt1000-noorient;
+    scope: on that workload articulation amplitude dominates and the
+    estimate alone buys only 13.20 px — see fit_adaptive's ``propagate``
+    for the at-scale lever). This estimator reads the
     orientation off the data instead:
 
       normalized centered 2D  y_i ≈ (1/z̄) * (R (X_i - X̄))_{xy}

@@ -3,13 +3,20 @@
 Why it exists: the reference inits every frame at identity root
 orientation (src/main_single_frame.cpp:219-224), and so did the repo's
 span-based data init. On frames whose true root rotation is large the
-robustified energy's basin is unreachable from identity — measured on
-the 1000-frame bench workload (GT root rotation ramps to ~2.2 rad):
-871/1000 frames stuck >6 px after phase A, and the yaw-only multi-start
-could not recover non-yaw rotations either (13.96 px mean AFTER
-escalating all 871). estimate_root_orient reads the rotation off the 2D
-detections instead (torso Procrustes + SVD lift + paraperspective ray
-correction), making phase A land in the right basin directly.
+robustified energy's basin is unreachable from identity, and a yaw-only
+multi-start cannot recover non-yaw rotations — measured on the
+1000-frame bench ramp (root rotation to ~2.2 rad): 873/1000 frames
+stuck >6 px after phase A, 13.96 px mean AFTER escalating all of them
+(docs/measurements/bench_sweep_r5_20260820.log, adapt1000-noorient).
+estimate_root_orient reads the rotation off the 2D detections instead
+(torso Procrustes + SVD lift + paraperspective ray correction). Scope
+honesty (round-5 measurement): on frames whose hardness is the ROOT
+rotation — this file's rigs — the estimate makes phase A land in the
+right basin directly; on the full bench ramp, where ARTICULATION
+amplitude also grows, it buys only 13.20 vs 13.96 px (888 hard) — the
+at-scale lever there is fit_adaptive's temporal propagation
+(tests/test_adaptive.py::test_fit_adaptive_propagate_recovers_hard_band,
+BASELINE.md round-5).
 
 Pinned here:
   * aa <-> rotation matrix round trips on all quaternion-extraction
@@ -201,7 +208,10 @@ def test_fit_adaptive_orient_recovers_nonyaw_rotations(model_rig):
     ESCALATION often recovers clean synthetic frames too — the solver's
     yaw multi-start is genuinely strong — so the pinned contrast is
     phase A vs phase A, which is exactly what the orientation estimate
-    changes; the 1000-frame bench row pins the at-scale end-to-end win.)
+    changes. At the 1000-frame bench scale the estimate does NOT win
+    end-to-end — articulation amplitude dominates there, see the module
+    docstring and BASELINE.md round-5 — this rig isolates the
+    root-rotation hardness class the estimator exists for.)
     """
     prob, project_kp = model_rig
     rng = np.random.default_rng(13)
