@@ -29,6 +29,10 @@ windows — under the lock it moves by ~0, same optima.
 Fast path: --batched-windows solves ALL stage-2 windows at once (vmapped,
 the 'full-video batched fitting' config of BASELINE.json) instead of
 sequentially; sequential is the default for init-chaining parity.
+--fused-stages (with --batched-windows --init-from-anchors, single-chip)
+compiles the WHOLE chain — anchors + anchor->window interpolation +
+windows — into ONE dispatch (solve/two_stage.py, the bench headline
+path: 1830 vs 1760 frames/s through the TPU tunnel).
 --window-chunk N splits the batch into N-window chunks with independent
 convergence exits (bounds the slowest-window tail on long videos; see
 solve/multi_frame.build_chunked_window_fit). Composes with --mesh: each
@@ -105,6 +109,11 @@ def parse_args(argv):
         # convergence-exit solve runs until its SLOWEST window; on very
         # long videos chunking bounds that tail (build_chunked_window_fit)
         "window_chunk": 0,
+        # round 5: the whole two-stage chain as ONE compiled dispatch
+        # (solve/two_stage.py — the bench headline path, 1830 vs 1760
+        # fps on the TPU tunnel). Needs --batched-windows
+        # --init-from-anchors, single-chip, unchunked, fresh run.
+        "fused_stages": False,
     }
     positional = ["max_iters_s1", "max_iters_s2", "skip", "wsize", "overlap",
                   "beta_pose", "beta_shape", "lambda_t"]
@@ -125,6 +134,8 @@ def parse_args(argv):
             opts["multi_start"] = True
         elif a == "--orient-init":
             opts["orient_init"] = True
+        elif a == "--fused-stages":
+            opts["fused_stages"] = True
         elif a == "--no-orient-init":
             opts["orient_init"] = False
         elif a == "--jax-render":
@@ -145,9 +156,10 @@ def parse_args(argv):
             opts["cg_rtol"] = float(rest.pop(0))
         elif a == "--linear" and rest:
             opts["linear"] = rest.pop(0)
-            if opts["linear"] not in ("tridiag", "cr", "pcg", "pcg_kernel"):
-                print(f"--linear must be tridiag|cr|pcg|pcg_kernel, got "
-                      f"{opts['linear']!r}", file=sys.stderr)
+            if opts["linear"] not in ("tridiag", "cr", "pcg", "pcg_block",
+                                      "pcg_kernel"):
+                print(f"--linear must be tridiag|cr|pcg|pcg_block|"
+                      f"pcg_kernel, got {opts['linear']!r}", file=sys.stderr)
                 return None
         elif a == "--ckpt-backend" and rest:
             opts["ckpt_backend"] = rest.pop(0)
@@ -331,6 +343,10 @@ def main(argv=None) -> int:
         shape_w = ck["shape_w"]
         rendered = ck["rendered"].astype(bool)
         resume_start = int(ck["next_start"])
+        fused_active = False   # resumed runs keep the sequential stages
+        if opts["fused_stages"]:
+            print("[WARN] --fused-stages does not apply to a resumed run; "
+                  "sequential stages", file=sys.stderr)
     else:
         anchor_idx = list(range(0, n_frames, opts["skip"]))
         print(f"[INFO] stage-1  anchor frames = {len(anchor_idx)}")
@@ -341,82 +357,101 @@ def main(argv=None) -> int:
                                 linear=opts["linear"],
                                 cg_rtol=opts["cg_rtol"])
         n_a = len(anchor_idx)
-        if mesh is not None:
-            # frames sharded over the mesh: pad the anchor batch to a
-            # multiple of the mesh size with frame_valid=0 rows
-            from smpltpu.parallel import build_sharded_lm_fitter, shard_frames
-            if opts["linear"] in ("tridiag", "cr"):
-                # exact elimination is sequential across frame shards;
-                # the sharded stage-1 always runs halo-exchange PCG
-                print(f"[INFO] --linear {opts['linear']} applies to the "
-                      "single-chip/window solves; sharded stage-1 uses "
-                      "the distributed PCG", file=sys.stderr)
-            pad = (-n_a) % mesh_n
-            a_p = np.tile(np.asarray(init_frame_params(dtype=dtype)),
-                          (n_a + pad, 1))
-            a_p[:n_a] = poses[anchor_idx]
-            a_k = np.zeros((n_a + pad,) + kp.shape[1:], kp.dtype)
-            a_k[:n_a] = kp[anchor_idx]
-            a_r = np.tile(np.eye(3, dtype=np.float32), (n_a + pad, 1, 1))
-            a_r[:n_a] = r0[anchor_idx]
-            a_v = np.zeros(n_a + pad, np.float32)
-            a_v[:n_a] = 1.0
-            fit1 = build_sharded_lm_fitter(mesh, spec, cam, cfg1,
-                                           model.num_shapes, dtype=dtype)
-            args1 = (shard_frames(mesh, jnp.asarray(a_p)),
-                     jnp.asarray(shape_w),
-                     shard_frames(mesh, jnp.asarray(a_k)),
-                     shard_frames(mesh, jnp.asarray(a_r)),
-                     shard_frames(mesh, jnp.asarray(a_v)))
+        # round 5: --fused-stages runs stage-1 + interpolation + stage-2
+        # as ONE compiled dispatch (solve/two_stage.py — the bench
+        # headline path). The in-graph interpolation reproduces the
+        # --init-from-anchors rule exactly, so that flag is required;
+        # single-chip, unchunked, fresh (non-resume) runs only.
+        fused_active = (opts["fused_stages"] and opts["batched_windows"]
+                        and opts["init_from_anchors"] and mesh is None
+                        and opts["window_chunk"] == 0)
+        if opts["fused_stages"] and not fused_active:
+            print("[WARN] --fused-stages needs --batched-windows "
+                  "--init-from-anchors on a single chip without "
+                  "--window-chunk; falling back to the sequential stages",
+                  file=sys.stderr)
+        if fused_active:
+            # the stage-1 solve + bookkeeping happen inside the fused
+            # dispatch (stage-2 section); --init-from-anchors means no
+            # anchor r0 write-back, so r0_fit is just a snapshot
+            r0_fit = r0.copy()
         else:
-            fit1 = build_multi_fitter(spec, cam, cfg1, model.num_shapes,
-                                      dtype=dtype)
-            args1 = (jnp.asarray(poses[anchor_idx]), jnp.asarray(shape_w),
-                     jnp.asarray(kp[anchor_idx]), jnp.asarray(r0[anchor_idx]))
-        fit1(*args1).params.block_until_ready()  # compile warm-up
-        t1 = StageTimer()
-        with profile_trace(profile_dir):
-            st1 = fit1(*args1)
-            st1.params.block_until_ready()
-        ms_anchor = t1.ms()
-        print(f"[INFO] stage-1 done  ({'success' if bool(jnp.isfinite(st1.cost)) else 'fail'})"
-              f"  in {ms_anchor} ms\n"
-              f"accepted steps: {int(st1.n_accepted)}, final cost: {float(st1.cost):.3f}")
-        metrics.log("stage1", ms=ms_anchor, cost=float(st1.cost),
-                    accepted=int(st1.n_accepted), anchors=len(anchor_idx))
+            if mesh is not None:
+                # frames sharded over the mesh: pad the anchor batch to a
+                # multiple of the mesh size with frame_valid=0 rows
+                from smpltpu.parallel import build_sharded_lm_fitter, shard_frames
+                if opts["linear"] in ("tridiag", "cr"):
+                    # exact elimination is sequential across frame shards;
+                    # the sharded stage-1 always runs halo-exchange PCG
+                    print(f"[INFO] --linear {opts['linear']} applies to the "
+                          "single-chip/window solves; sharded stage-1 uses "
+                          "the distributed PCG", file=sys.stderr)
+                pad = (-n_a) % mesh_n
+                a_p = np.tile(np.asarray(init_frame_params(dtype=dtype)),
+                              (n_a + pad, 1))
+                a_p[:n_a] = poses[anchor_idx]
+                a_k = np.zeros((n_a + pad,) + kp.shape[1:], kp.dtype)
+                a_k[:n_a] = kp[anchor_idx]
+                a_r = np.tile(np.eye(3, dtype=np.float32), (n_a + pad, 1, 1))
+                a_r[:n_a] = r0[anchor_idx]
+                a_v = np.zeros(n_a + pad, np.float32)
+                a_v[:n_a] = 1.0
+                fit1 = build_sharded_lm_fitter(mesh, spec, cam, cfg1,
+                                               model.num_shapes, dtype=dtype)
+                args1 = (shard_frames(mesh, jnp.asarray(a_p)),
+                         jnp.asarray(shape_w),
+                         shard_frames(mesh, jnp.asarray(a_k)),
+                         shard_frames(mesh, jnp.asarray(a_r)),
+                         shard_frames(mesh, jnp.asarray(a_v)))
+            else:
+                fit1 = build_multi_fitter(spec, cam, cfg1, model.num_shapes,
+                                          dtype=dtype)
+                args1 = (jnp.asarray(poses[anchor_idx]), jnp.asarray(shape_w),
+                         jnp.asarray(kp[anchor_idx]), jnp.asarray(r0[anchor_idx]))
+            fit1(*args1).params.block_until_ready()  # compile warm-up
+            t1 = StageTimer()
+            with profile_trace(profile_dir):
+                st1 = fit1(*args1)
+                st1.params.block_until_ready()
+            ms_anchor = t1.ms()
+            print(f"[INFO] stage-1 done  ({'success' if bool(jnp.isfinite(st1.cost)) else 'fail'})"
+                  f"  in {ms_anchor} ms\n"
+                  f"accepted steps: {int(st1.n_accepted)}, final cost: {float(st1.cost):.3f}")
+            metrics.log("stage1", ms=ms_anchor, cost=float(st1.cost),
+                        accepted=int(st1.n_accepted), anchors=len(anchor_idx))
 
-        anchor_params = np.asarray(st1.params)[:n_a]
-        shape_w = np.asarray(st1.shape)
-        loss_curve = np.asarray(st1.cost_history)
-        anchor_errs, _ = batched_frame_eval(
-            model, anchor_params, np.tile(shape_w, (len(anchor_idx), 1)),
-            r0[anchor_idx], kp[anchor_idx], cam, want_verts=False)
-        append_log(opts["out_dir"],
-                   [(fid, float(anchor_errs[k]), ms_anchor / len(anchor_idx))
-                    for k, fid in enumerate(anchor_idx)])
+            anchor_params = np.asarray(st1.params)[:n_a]
+            shape_w = np.asarray(st1.shape)
+            loss_curve = np.asarray(st1.cost_history)
+            anchor_errs, _ = batched_frame_eval(
+                model, anchor_params, np.tile(shape_w, (len(anchor_idx), 1)),
+                r0[anchor_idx], kp[anchor_idx], cam, want_verts=False)
+            append_log(opts["out_dir"],
+                       [(fid, float(anchor_errs[k]), ms_anchor / len(anchor_idx))
+                        for k, fid in enumerate(anchor_idx)])
 
-        if opts["init_from_anchors"]:
-            # framework extension (NOT reference behavior): seed stage-2
-            # windows from the stage-1 anchor poses, linearly interpolated
-            # between consecutive anchors — windows start near the solution
-            # instead of the cold default init, so the hard-coded 60
-            # stage-2 iterations converge much further. R0 is left
-            # untouched so the interpolated rootAA stays consistent.
-            n_a = len(anchor_idx)
-            for k, fid in enumerate(anchor_idx):
-                a = fid
-                b = anchor_idx[k + 1] if k + 1 < n_a else n_frames
-                pb = anchor_params[k + 1] if k + 1 < n_a else anchor_params[k]
-                poses[a] = anchor_params[k]
-                for i in range(a + 1, min(b, n_frames)):
-                    t = (i - a) / max(b - a, 1)
-                    poses[i] = (1.0 - t) * anchor_params[k] + t * pb
-        else:
-            # write-back effects (and ONLY these — anchor poses deliberately
-            # not copied into `poses`, reproducing the reference quirk):
-            for k, fid in enumerate(anchor_idx):
-                r0[fid] = np_rodrigues(anchor_params[k, 1:4]) @ r0[fid]
-        r0_fit = r0.copy()
+            if opts["init_from_anchors"]:
+                # framework extension (NOT reference behavior): seed stage-2
+                # windows from the stage-1 anchor poses, linearly interpolated
+                # between consecutive anchors — windows start near the solution
+                # instead of the cold default init, so the hard-coded 60
+                # stage-2 iterations converge much further. R0 is left
+                # untouched so the interpolated rootAA stays consistent.
+                n_a = len(anchor_idx)
+                for k, fid in enumerate(anchor_idx):
+                    a = fid
+                    b = anchor_idx[k + 1] if k + 1 < n_a else n_frames
+                    pb = anchor_params[k + 1] if k + 1 < n_a else anchor_params[k]
+                    poses[a] = anchor_params[k]
+                    for i in range(a + 1, min(b, n_frames)):
+                        t = (i - a) / max(b - a, 1)
+                        poses[i] = (1.0 - t) * anchor_params[k] + t * pb
+            else:
+                # write-back effects (and ONLY these — anchor poses deliberately
+                # not copied into `poses`, reproducing the reference quirk):
+                for k, fid in enumerate(anchor_idx):
+                    r0[fid] = np_rodrigues(anchor_params[k, 1:4]) @ r0[fid]
+            r0_fit = r0.copy()
 
     # ===================== stage 2: sliding windows =====================
     stride = opts["wsize"] - opts["overlap"]
@@ -512,7 +547,23 @@ def main(argv=None) -> int:
         bw = jnp.tile(jnp.asarray(shape_w), (len(packs), 1))
         t2 = StageTimer()
         with profile_trace(profile_dir):
-            if mesh is not None:
+            if fused_active:
+                # ONE dispatch: stage-1 anchors + in-graph anchor
+                # interpolation + all windows (solve/two_stage.py). bp/bw
+                # are not consumed — the window starts and the shared
+                # shape come out of the stage-1 half in-graph.
+                from smpltpu.solve import build_fused_two_stage
+                fufit = build_fused_two_stage(
+                    spec, cam, cfg1, cfg2, model.num_shapes, anchor_idx,
+                    starts, wsize, n_frames, dtype=dtype, spec2=spec_s2)
+                print("[INFO] fused two-stage: anchors + windows as ONE "
+                      "dispatch (time below includes its compile, like "
+                      "the batched sequential path)")
+                st1f, st2 = fufit(
+                    jnp.asarray(poses[anchor_idx]), jnp.asarray(shape_w),
+                    jnp.asarray(kp[anchor_idx]),
+                    jnp.asarray(r0[anchor_idx]), bk, br, bv)
+            elif mesh is not None:
                 # DP over the window axis across the mesh (each device
                 # solves its slice with the single-chip fitter);
                 # --window-chunk composes: per-device lax.map chunks with
@@ -531,10 +582,34 @@ def main(argv=None) -> int:
                         bp, bw, bk, br, bv)
             st2.params.block_until_ready()
         ms_total = t2.ms()
+        if fused_active:
+            # deferred stage-1 bookkeeping from the fused result: the
+            # single dispatch has no stage split, so every log.csv row
+            # (anchors AND window frames) gets the same amortized
+            # per-frame time — total time is preserved for eval.py
+            shape_w = np.asarray(st1f.shape)
+            loss_curve = np.asarray(st1f.cost_history)
+            anchor_params = np.asarray(st1f.params)
+            metrics.log("fused_two_stage", ms=ms_total,
+                        cost=float(st1f.cost),
+                        accepted=int(st1f.n_accepted),
+                        anchors=len(anchor_idx), windows=len(starts))
+            anchor_errs, _ = batched_frame_eval(
+                model, anchor_params,
+                np.tile(shape_w, (len(anchor_idx), 1)),
+                r0[anchor_idx], kp[anchor_idx], cam, want_verts=False)
+            denom = len(anchor_idx) + sum(
+                pk[0] - st for pk, st in zip(packs, starts))
+            per_frame_ms = ms_total / max(denom, 1)
+            append_log(opts["out_dir"],
+                       [(fid, float(anchor_errs[k]), per_frame_ms)
+                        for k, fid in enumerate(anchor_idx)])
         for wi, s in enumerate(starts):
             e = packs[wi][0]
+            ms_w = (per_frame_ms * (e - s) if fused_active
+                    else ms_total / len(starts))
             finish_window(s, e, np.asarray(st2.params[wi]),
-                          ms_total / len(starts), np.asarray(packs[wi][3]))
+                          ms_w, np.asarray(packs[wi][3]))
     else:
         first = True
         with profile_trace(profile_dir):

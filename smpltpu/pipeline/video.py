@@ -8,6 +8,7 @@ whole chain:
     python -m smpltpu.pipeline.video <SMPL.npz> <input> <out_dir>
         [--mode multi|single|stream] [--size WxH] [--images DIR] [--fps N]
         [--no-video] [--mesh N] [--multi-start] [--freeze-scale]
+        [--fused-stages]
         [--adaptive-start] [--adaptive-thresh PX] [--adaptive-propagate]
         [--no-orient-init]
         [--frame-chunk N] [--use-gmm] [--pose-prior FILE] [--jax-render]
@@ -50,7 +51,7 @@ def _parse(argv):
         "jax_render": False, "iters": None, "s2_iters": None,
         "beta_pose": None, "beta_shape": None, "lambda_t": None,
         "calib": None, "adaptive_start": False, "adaptive_thresh": None,
-        "adaptive_propagate": False,
+        "adaptive_propagate": False, "fused_stages": False,
         "no_orient_init": False, "frame_chunk": None,
     }
     rest = list(argv[3:])
@@ -59,6 +60,7 @@ def _parse(argv):
              "--jax-render": "jax_render",
              "--adaptive-start": "adaptive_start",
              "--adaptive-propagate": "adaptive_propagate",
+             "--fused-stages": "fused_stages",
              "--no-orient-init": "no_orient_init"}
     valued = {"--mode": ("mode", str), "--size": ("size", str),
               "--images": ("images", str), "--fps": ("fps", float),
@@ -213,6 +215,9 @@ def main(argv=None) -> int:
                           ("--no-orient-init", "no_orient_init")):
             if opts[key]:
                 args.append(flag)
+        if opts["fused_stages"]:
+            print("[WARN] --fused-stages applies to --mode multi only; "
+                  "ignored", file=sys.stderr)
         if opts["adaptive_thresh"] is not None:
             args += ["--adaptive-thresh", str(opts["adaptive_thresh"])]
         if opts["frame_chunk"] is not None:
@@ -238,6 +243,7 @@ def main(argv=None) -> int:
                           ("adaptive_start", "--adaptive-start"),
                           ("adaptive_thresh", "--adaptive-thresh"),
                           ("adaptive_propagate", "--adaptive-propagate"),
+                          ("fused_stages", "--fused-stages"),
                           ("no_orient_init", "--no-orient-init"),
                           ("frame_chunk", "--frame-chunk")):
             if opts[key]:
@@ -273,6 +279,10 @@ def main(argv=None) -> int:
             # round 5: the multi CLI supports --multi-start (frozen-scale
             # best-of-starts seeding of the two-stage chain)
             args.append("--multi-start")
+        if opts["fused_stages"]:
+            # one-dispatch two-stage chain (composes with the driver's
+            # default --batched-windows --init-from-anchors)
+            args.append("--fused-stages")
         for key, flag in (("use_gmm", "--use-gmm"),
                           ("freeze_scale", "--freeze-scale"),
                           ("adaptive_start", "--adaptive-start"),

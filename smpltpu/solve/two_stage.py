@@ -58,18 +58,25 @@ def build_fused_two_stage(
     wsize: int,
     n_frames: int,
     dtype=None,
+    spec2=None,
 ):
     """Return a jitted fn(p0a (A,P), shape0 (nS,), kpa (A,K,4),
     r0a (A,3,3), kpw (W,wsize,K,4), r0w (W,wsize,3,3), vw (W,wsize))
     -> (MultiFrameResult stage-1, MultiFrameResult stage-2 vmapped over
     windows). Single-chip, unchunked; the sequential path stays the
-    building block for meshes/chunking."""
+    building block for meshes/chunking.
+
+    ``spec2``: stage-2 skeleton spec when it differs from stage-1's —
+    the multi CLI's beta_shape=0 parity case drops the shape dependence
+    from stage 1 (MultiFrameBA.h:88 passes a null jointShapeReg there)
+    while stage 2 always carries the 1e5 shape lock."""
     import jax
     import jax.numpy as jnp
 
     dtype = jnp.float32 if dtype is None else dtype
     fit1 = build_multi_fitter(spec, cam, cfg1, n_shapes, dtype)
-    fit2 = build_multi_fitter(spec, cam, cfg2, n_shapes, dtype)
+    fit2 = build_multi_fitter(spec if spec2 is None else spec2,
+                              cam, cfg2, n_shapes, dtype)
 
     seg, hi, t = interp_tables(anchor_idx, n_frames)
     seg_j = jnp.asarray(seg, jnp.int32)
