@@ -358,6 +358,7 @@ def main():
         from smpltpu.render.pallas_raster import (
             pick_active,
             pick_cap,
+            pick_entries,
             pick_spans,
             rasterize_tiled,
         )
@@ -405,18 +406,25 @@ def main():
             s_y, s_x = pick_spans(vfirst[k], np.asarray(model.faces),
                                   fxr, fyr, cxr, cyr, h_r, w_r)
             sy, sx = max(sy, s_y), max(sx, s_x)
-        ac = 32
+        ac, ec = 32, 0
         for k in range(0, CH, 25):
             m, b = pick_cap(vfirst[k], np.asarray(model.faces),
                             fxr, fyr, cxr, cyr, h_r, w_r,
                             span_y=sy, span_x=sx)
             # margin 1.25: the cap must also hold for the un-sampled
-            # frames of the video (overflow tiles render as background)
+            # frames of the video (overflow tiles render as background /
+            # clipped tail segments for entry_cap)
             a = pick_active(vfirst[k], np.asarray(model.faces),
                             fxr, fyr, cxr, cyr, h_r, w_r, margin=1.25)
-            mc, bc, ac = max(mc, m), max(bc, b), max(ac, a)
+            e = pick_entries(vfirst[k], np.asarray(model.faces),
+                             fxr, fyr, cxr, cyr, h_r, w_r,
+                             span_y=sy, span_x=sx, margin=1.25)
+            mc, bc, ac, ec = max(mc, m), max(bc, b), max(ac, a), max(ec, e)
+        # BENCH_RASTER_ENTRY_CAP: 0 = auto (pick_entries), -1 = off (None)
+        ec_env = int(os.environ.get("BENCH_RASTER_ENTRY_CAP", "0"))
+        ec = None if ec_env < 0 else (ec_env or ec)
         log(f"bench: raster binning window {sy}x{sx} tiles, "
-            f"max_chunks {mc}, big_cap {bc}, act_cap {ac}")
+            f"max_chunks {mc}, big_cap {bc}, act_cap {ac}, entry_cap {ec}")
         faces_j = jnp.asarray(np.asarray(model.faces, np.int32))
 
         edge_mode = os.environ.get("BENCH_RASTER_EDGES", "rows")
@@ -426,7 +434,7 @@ def main():
             return jax.vmap(lambda v: rasterize_tiled(
                 v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
                 max_chunks=mc, big_cap=bc, edge_mode=edge_mode,
-                span_y=sy, span_x=sx, act_cap=ac)[0])(vs)
+                span_y=sy, span_x=sx, act_cap=ac, entry_cap=ec)[0])(vs)
 
         rchunk = jax.jit(render_chunk)
         pj = jnp.asarray(frame_params)
@@ -453,10 +461,10 @@ def main():
         # renders overflow tiles as background. Audit exact active counts
         # on a stride co-prime with the sizing stride (every frame with
         # BENCH_RENDER_AUDIT_CAP=1) AFTER the timed loop.
-        from smpltpu.render.pallas_raster import active_count
+        from smpltpu.render.pallas_raster import active_count, entries_count
         audit_all = os.environ.get("BENCH_RENDER_AUDIT_CAP", "0") == "1"
         stride_a = 1 if audit_all else 7
-        amax, aover = 0, 0
+        amax, aover, emax, eover = 0, 0, 0, 0
         cv_jit = jax.jit(chunk_verts)
         for s in range(0, N_FRAMES, CH):
             idx = [k for k in range(s, min(s + CH, N_FRAMES))
@@ -476,10 +484,22 @@ def main():
                     fxr, fyr, cxr, cyr, h_r, w_r)
                 amax = max(amax, n_act)
                 aover += n_act > ac
+                if ec is not None:
+                    n_ent, _ = entries_count(
+                        vs_a[i], np.asarray(model.faces),
+                        fxr, fyr, cxr, cyr, h_r, w_r,
+                        span_y=sy, span_x=sx)
+                    emax = max(emax, n_ent)
+                    eover += n_ent > ec
         log(f"bench: act_cap audit (stride {stride_a}): max active "
             f"{amax} vs cap {ac}"
             + (f" — {aover} frames OVER CAP (overflow tiles rendered as "
                f"background; raise margin)" if aover else " — ok"))
+        if ec is not None:
+            log(f"bench: entry_cap audit (stride {stride_a}): max entries "
+                f"{emax} vs cap {ec}"
+                + (f" — {eover} frames OVER CAP (tail segments clipped; "
+                   f"raise margin)" if eover else " — ok"))
         from smpltpu.render.pallas_raster import CHUNK, TILE_H, TILE_W
         from smpltpu.utils.roofline import stage_lbs, stage_raster
         n_tiles = (-(-h_r // TILE_H)) * (-(-w_r // TILE_W))
@@ -643,8 +663,15 @@ def main():
                 os.path.dirname(os.path.abspath(__file__)),
                 "data", "avatar-model", "pose_prior.txt")
             gmm_d = load_pose_prior_txt(prior_path)
+        # BENCH_SINGLE_BETA: the CLI-default beta_pose=20 unless overridden.
+        # Round-5 oracle probe (ROADMAP): the 1000-frame ramp's tail GT
+        # reaches ||joint_aa|| ~ 22, where ANY beta >= 5 makes the
+        # objective's GLOBAL optimum abandon the pose (cost 98k at GT vs
+        # 3.4k crushed at beta=20) — the beta=0 row shows what the
+        # machinery does when the objective permits fitting the data.
+        beta_s = float(os.environ.get("BENCH_SINGLE_BETA", "20"))
         prob_s = make_single_frame_problem(
-            model, r0c, cam, beta_pose=20.0, beta_shape=30.0,
+            model, r0c, cam, beta_pose=beta_s, beta_shape=30.0,
             gmm_dict=gmm_d)
         kp_s = kp[:n_s]
         if gmm_d is not None and gmm_mode == "1":

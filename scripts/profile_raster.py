@@ -12,6 +12,8 @@ weak #2 asks for a 720x1280 number AND a faster renderer):
 Usage (TPU):
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_raster.py
 Env: RP_SCALES="0.375 1.0"  RP_FRAMES=100  RP_EDGES=vpu|rows|mxu
+     RP_ACT=all (uncapped active set)  RP_ENTRY=all (uncapped sort entries)
+     RP_ABLATE=1 (bin/kernel/gather split)  RP_CHECK=1 (pixel parity)
 """
 
 import os
@@ -87,7 +89,7 @@ def main():
                                      fxr, fyr, cxr, cyr, h_r, w_r,
                                      big_frac=bf)
             sy, sx = max(sy, s_y), max(sx, s_x)
-        mc, bc, ac = 1, 64, 32
+        mc, bc, ac, ec = 1, 64, 32, 0
         for k in range(0, ch, 25):
             m, b = pr.pick_cap(vfirst[k], np.asarray(model.faces),
                                fxr, fyr, cxr, cyr, h_r, w_r,
@@ -96,14 +98,22 @@ def main():
                                fxr, fyr, cxr, cyr, h_r, w_r,
                                margin=float(os.environ.get("RP_MARGIN",
                                                            "1.25")))
-            mc, bc, ac = max(mc, m), max(bc, b), max(ac, a)
+            e = pr.pick_entries(vfirst[k], np.asarray(model.faces),
+                                fxr, fyr, cxr, cyr, h_r, w_r,
+                                span_y=sy, span_x=sx,
+                                margin=float(os.environ.get("RP_MARGIN",
+                                                            "1.25")))
+            mc, bc, ac, ec = max(mc, m), max(bc, b), max(ac, a), max(ec, e)
         if os.environ.get("RP_ACT", "") == "all":
             ac = None   # A/B: the exact all-tiles cap (pre-compaction shape)
+        if os.environ.get("RP_ENTRY", "") == "all":
+            ec = None   # A/B: the uncapped faces x span entry array
         n_ty = -(-h_r // pr.TILE_H)
         n_tx = -(-w_r // pr.TILE_W)
         print(f"--- {w_r}x{h_r}: tiles {n_ty}x{n_tx}={n_ty * n_tx}, "
               f"span {sy}x{sx}, max_chunks {mc}, big_cap {bc}, "
-              f"act_cap {ac}, CHUNK {pr.CHUNK}, TILE_H {pr.TILE_H}")
+              f"act_cap {ac}, entry_cap {ec}, CHUNK {pr.CHUNK}, "
+              f"TILE_H {pr.TILE_H}")
 
         @jax.jit
         def phase1(vs):
@@ -123,7 +133,7 @@ def main():
             return jax.vmap(lambda v: pr.rasterize_tiled(
                 v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
                 max_chunks=mc, big_cap=bc, span_y=sy, span_x=sx,
-                edge_mode=edge_mode, act_cap=ac)[0])(vs)
+                edge_mode=edge_mode, act_cap=ac, entry_cap=ec)[0])(vs)
 
         vj = jnp.asarray(vfirst)
         t1 = bench(phase1, vj)
@@ -152,7 +162,7 @@ def main():
                             v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
                             max_chunks=mc, big_cap=bc, span_y=sy,
                             span_x=sx, edge_mode=edge_mode, act_cap=ac,
-                            _stop_after=stop)
+                            entry_cap=ec, _stop_after=stop)
                         if stop == "bin":
                             return r
                         if stop == "kernel":
@@ -182,16 +192,17 @@ def main():
         if os.environ.get("RP_CHECK", "0") == "1":
             n_chk = min(int(os.environ.get("RP_CHECK_FRAMES", "8")), ch)
 
-            # reference side runs act_cap=None (= n_tiles, exact for ANY
-            # frame): a too-small compiled-side cap that truncates active
-            # tiles to background now shows up as a pixel MISMATCH instead
-            # of being invisible (both sides truncating identically)
+            # reference side runs act_cap=None AND entry_cap=None (exact
+            # for ANY frame): a too-small compiled-side cap that truncates
+            # active tiles / clips sort entries now shows up as a pixel
+            # MISMATCH instead of being invisible (both sides truncating
+            # identically)
             @jax.jit
             def iref(vs):
                 return jax.vmap(lambda v: pr.rasterize_tiled(
                     v, faces_j, fxr, fyr, cxr, cyr, h_r, w_r,
                     max_chunks=mc, big_cap=bc, span_y=sy, span_x=sx,
-                    edge_mode=edge_mode, act_cap=None,
+                    edge_mode=edge_mode, act_cap=None, entry_cap=None,
                     interpret=True)[0])(vs)
 
             g_t = np.asarray(full(vj[:n_chk]))

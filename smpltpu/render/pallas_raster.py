@@ -420,7 +420,8 @@ def _raster_kernel(scal_ref, edge_ref, key_ref, gedge_ref, gkey_ref,
 
 @partial(jax.jit, static_argnames=("height", "width", "max_chunks",
                                    "big_cap", "interpret", "edge_mode",
-                                   "span_y", "span_x", "act_cap"))
+                                   "span_y", "span_x", "act_cap",
+                                   "entry_cap", "_stop_after"))
 def rasterize_tiled(
     verts_cam: jnp.ndarray,   # (nV, 3) camera-space vertices
     faces: jnp.ndarray,       # (nF, 3) int32
@@ -440,6 +441,18 @@ def rasterize_tiled(
                               # any frame). Active ranks beyond act_cap
                               # render as BACKGROUND — size it to the
                               # frame (see _build_worklist).
+    entry_cap: int | None = None,  # max REAL sort entries kept after the
+                              # single-key sort (pick_entries; None =
+                              # faces x span window, exact). The sort
+                              # groups real entries first and sentinels
+                              # last, so a cap >= the frame's real-entry
+                              # count is EXACT while shrinking the
+                              # (12, Np) sorted-edge gather/materialize
+                              # — measured 57% of the 720x1280 frame was
+                              # phase-1 marshaling, round-5 ablation.
+                              # Segments straddling a too-small cap are
+                              # CLIPPED (late faces of high-tile-id rows
+                              # drop) — size it to the frame.
     _stop_after: str = "full",  # profiling ablation (scripts/
                               # profile_raster.py RP_ABLATE): "bin" stops
                               # after phase 1 + worklist build (returns a
@@ -468,6 +481,14 @@ def rasterize_tiled(
                                   fx, fy, cx, cy)
     sf, first, gbin, big_n, active = _bin_faces(u, v, keep, n_ty, n_tx,
                                                 big_cap, span_y, span_x)
+    if entry_cap is not None and entry_cap < sf.shape[0]:
+        # keep the leading cap entries (real entries sort before the
+        # sentinel tail; CHUNK-align so the block grid stays exact) and
+        # clip segment offsets into the kept range
+        cap = -(-max(int(entry_cap), 1) // CHUNK) * CHUNK
+        if cap < sf.shape[0]:
+            first = jnp.minimum(first, cap)
+            sf = sf[:cap]
     n_blocks = sf.shape[0] // CHUNK
 
     # edge-function coefficients per face: e(x, y) = A x + B y + C
@@ -639,6 +660,43 @@ def pick_active(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
     while cap < min(int(np.ceil(n_active * margin)), n_tiles):
         cap *= 2
     return min(cap, n_tiles)
+
+
+def entries_count(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
+                  height: int, width: int, span_y: int = SPAN,
+                  span_x: int = SPAN) -> tuple:
+    """(n_entries, n_max): upper bound on the frame's REAL sort entries
+    (small faces x tiles their clipped bbox touches — a superset of the
+    traced count, which additionally culls backfaces/behind-camera
+    faces) vs the uncapped total faces*span_y*span_x. Host numpy; the
+    audit twin of pick_entries, like active_count for pick_active."""
+    ty0, ty1, tx0, tx1, _, _ = _face_tile_spans(
+        verts_cam, faces, fx, fy, cx, cy, height, width)
+    dy = ty1 - ty0
+    dx = tx1 - tx0
+    small = (dy < span_y) & (dx < span_x)
+    n = int(((dy + 1) * (dx + 1))[small].sum())
+    return n, len(ty0) * span_y * span_x
+
+
+def pick_entries(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
+                 height: int, width: int, span_y: int = SPAN,
+                 span_x: int = SPAN, margin: float = 1.0) -> int:
+    """entry_cap for rasterize_tiled: pow2-bucketed superset count of the
+    frame's real sort entries (see entries_count). The single-key sort
+    places real entries before the sentinel tail, so any cap >= the real
+    count is pixel-EXACT while shrinking the (12, Np) sorted-edge
+    gather/materialization AND the static kernel grid (round-5 ablation:
+    phase-1 marshaling was 2.9 of 5.1 ms/frame at 720x1280). Batched
+    callers sampling frames should pass margin > 1 (e.g. 1.25); a frame
+    whose real count exceeds the cap gets its highest-tile-id segments
+    CLIPPED (those rows render the remaining faces only)."""
+    n, n_max = entries_count(verts_cam, faces, fx, fy, cx, cy,
+                             height, width, span_y, span_x)
+    cap = CHUNK
+    while cap < min(int(np.ceil(n * margin)), n_max):
+        cap *= 2
+    return min(cap, n_max)
 
 
 def active_count(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,

@@ -208,3 +208,50 @@ def test_behind_camera_and_backface_culled():
     faces = np.array([[0, 1, 2], [3, 5, 4]], np.int32)
     _, c = _tiled(verts, faces, (2, 256))
     assert not c.any()
+
+
+def test_entry_cap_pixel_exact(small_model_dict):
+    """pick_entries' cap must reproduce the exact (entry_cap=None)
+    render pixel-for-pixel — the single-key sort groups real entries
+    before the sentinel tail, so truncating at cap >= the real count
+    only drops sentinels (round-5 lever: the (12, Np) sorted-edge
+    gather was 57% of the 720x1280 frame). Undersized caps CLIP the
+    highest-tile-id segments: fewer covered pixels, never garbage."""
+    import jax.numpy as jnp
+
+    from smpltpu.models import SMPLModel, smpl_forward
+    from smpltpu.render.pallas_raster import (
+        CHUNK,
+        entries_count,
+        pick_entries,
+    )
+
+    model = SMPLModel.from_dict(small_model_dict, dtype=jnp.float32)
+    out = smpl_forward(model, jnp.zeros(10),
+                       jnp.broadcast_to(jnp.eye(3), (24, 3, 3)),
+                       jnp.asarray([0.0, 0.0, 3.0]))
+    verts = np.asarray(out["verts"], np.float32)
+    faces = np.asarray(model.faces, np.int32)
+    mc, bc = pick_cap(verts, faces, FX, FY, CX, CY, H, W)
+    ec = pick_entries(verts, faces, FX, FY, CX, CY, H, W)
+    n_real, n_max = entries_count(verts, faces, FX, FY, CX, CY, H, W)
+    assert n_real <= ec <= n_max
+    assert ec < n_max  # the lever actually truncates on this scene
+
+    def run(cap):
+        g, c = rasterize_tiled(jnp.asarray(verts), jnp.asarray(faces),
+                               FX, FY, CX, CY, H, W, max_chunks=mc,
+                               big_cap=bc, interpret=True, entry_cap=cap)
+        return np.asarray(g), np.asarray(c)
+
+    g_full, c_full = run(None)
+    g_cap, c_cap = run(ec)
+    np.testing.assert_array_equal(c_full, c_cap)
+    np.testing.assert_array_equal(g_full, g_cap)
+    assert c_cap.sum() > 300
+
+    g_u, c_u = run(CHUNK)     # undersized: clipped segments, valid output
+    assert c_u.sum() <= c_full.sum()
+    covered_both = c_u & c_full
+    np.testing.assert_array_equal(g_u[covered_both], g_full[covered_both])
+    assert not c_u[~c_full].any()
