@@ -666,15 +666,26 @@ def entries_count(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
                   height: int, width: int, span_y: int = SPAN,
                   span_x: int = SPAN) -> tuple:
     """(n_entries, n_max): upper bound on the frame's REAL sort entries
-    (small faces x tiles their clipped bbox touches — a superset of the
-    traced count, which additionally culls backfaces/behind-camera
-    faces) vs the uncapped total faces*span_y*span_x. Host numpy; the
+    (kept small faces x tiles their clipped bbox touches) vs the
+    uncapped total faces*span_y*span_x. Applies the same behind-camera
+    and backface culls as the traced _face_setup — WITH a tolerance
+    band (near-degenerate normals stay counted) so f32-vs-f64 rounding
+    can never make this a subset of the traced set. Host numpy; the
     audit twin of pick_entries, like active_count for pick_active."""
+    v = np.asarray(verts_cam, np.float64)
+    f = np.asarray(faces)
+    tri = v[f]                                          # (F, 3, 3)
+    valid = (tri[..., 2] > 1e-6).all(axis=1)
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    n_z = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    scale = np.abs(e1).max(1) * np.abs(e2).max(1) + 1e-30
+    kept = valid & (n_z < 1e-6 * scale)   # traced: n_z < 0, f32
     ty0, ty1, tx0, tx1, _, _ = _face_tile_spans(
         verts_cam, faces, fx, fy, cx, cy, height, width)
     dy = ty1 - ty0
     dx = tx1 - tx0
-    small = (dy < span_y) & (dx < span_x)
+    small = kept & (dy < span_y) & (dx < span_x)
     n = int(((dy + 1) * (dx + 1))[small].sum())
     return n, len(ty0) * span_y * span_x
 
