@@ -779,12 +779,16 @@ def render_overlay_tiled(verts_cam, faces, img_bgr: np.ndarray,
                       fx, fy, cx, cy, h, w, span_y=sy, span_x=sx)
     ac = pick_active(np.asarray(verts_cam), np.asarray(faces),
                      fx, fy, cx, cy, h, w)
+    # per-frame exact cap (margin 1.0): this frame's own count can never
+    # overflow it, so the truncation is pixel-exact here
+    ec = pick_entries(np.asarray(verts_cam), np.asarray(faces),
+                      fx, fy, cx, cy, h, w, span_y=sy, span_x=sx)
     interp = jax.default_backend() == "cpu"
     gray, covered = rasterize_tiled(
         jnp.asarray(verts_cam), jnp.asarray(np.asarray(faces, np.int32)),
         float(fx), float(fy), float(cx), float(cy), h, w,
         max_chunks=mc, big_cap=bc, interpret=interp, span_y=sy, span_x=sx,
-        act_cap=ac)
+        act_cap=ac, entry_cap=ec)
     gray = np.asarray(gray)
     covered = np.asarray(covered)
     out = img_bgr.copy()
