@@ -50,6 +50,7 @@ USAGE = """usage: python -m smpltpu.pipeline.single <SMPL.npz> <kps_folder> <ima
                    [--opt-shape] [--use-gmm] [--mesh N] [--frame-chunk N]
                    [--multi-start] [--adaptive-start] [--adaptive-thresh PX]
                    [--adaptive-propagate] [--no-orient-init]
+                   [--profile] [--metrics-jsonl FILE]
 """
 
 # --use-gmm beta_pose weight above which the round-4 objective-landscape
@@ -84,6 +85,9 @@ def parse_args(argv):
         # over the sequence) for frames EVERY static start loses — the
         # round-5 lever for band-hardness (solve/init.py::fit_adaptive)
         "adaptive_propagate": False,
+        # observability (same surface as the multi CLI; SURVEY.md
+        # section 5 tracing/metrics rows)
+        "profile": False, "metrics_jsonl": None,
         # round 4: the multi-start/adaptive data init estimates the ROOT
         # ORIENTATION from the torso detections (solve/init.py::
         # estimate_root_orient); --no-orient-init restores the round-3
@@ -110,6 +114,10 @@ def parse_args(argv):
             opts["adaptive_thresh"] = float(rest.pop(0))
         elif a == "--adaptive-propagate":
             opts["adaptive_propagate"] = True
+        elif a == "--profile":
+            opts["profile"] = True
+        elif a == "--metrics-jsonl" and rest:
+            opts["metrics_jsonl"] = rest.pop(0)
         elif a == "--no-orient-init":
             opts["orient_init"] = False
         elif a == "--freeze-scale":  # gauge fix: see solve/single_frame.py
@@ -257,6 +265,10 @@ def main(argv=None) -> int:
                                      chunk=opts["frame_chunk"])
         return fitter(x0, kp_dev)
 
+    from smpltpu.utils.obs import MetricsLogger, profile_trace
+    metrics = MetricsLogger(jsonl_path=opts["metrics_jsonl"])
+    profile_dir = (os.path.join(opts["out_dir"], "profile")
+                   if opts["profile"] else None)
     timer = StageTimer()
     state = run_solve()
     state.x.block_until_ready()
@@ -265,8 +277,9 @@ def main(argv=None) -> int:
     # one-off XLA compilation, matching the reference's timer which wraps
     # only ceres::Solve (src/main_single_frame.cpp:234-249)
     timer = StageTimer()
-    state = run_solve()
-    state.x.block_until_ready()
+    with profile_trace(profile_dir):
+        state = run_solve()
+        state.x.block_until_ready()
     total_ms = timer.ms()
     if mesh is not None and n_solve != x0.shape[0]:
         state = jax.tree_util.tree_map(lambda a: a[:n_solve], state)
@@ -274,6 +287,9 @@ def main(argv=None) -> int:
           f"{f' x {s_dim} starts' if s_dim > 1 else ''} "
           f"(+{first_ms - total_ms:.0f} ms one-off compile)")
     per_frame_ms = total_ms / max(n_frames, 1)
+    metrics.log("single_solve", ms=total_ms, frames=n_frames,
+                starts=s_dim, compile_ms=max(first_ms - total_ms, 0.0))
+    metrics.close()
 
     r0 = np.asarray(init_root_rotation())
     if s_dim > 1:

@@ -159,3 +159,31 @@ def test_make_start_set_yaw_isclose(rng):
     np.testing.assert_allclose(near, exact, rtol=0, atol=1e-9)
     # the flip start must actually differ from the base start
     assert np.abs(exact[0, 1, 1:4] - exact[0, 0, 1:4]).max() > 1e-3
+
+
+def test_single_cli_observability_flags(tmp_path):
+    """--profile / --metrics-jsonl on the single CLI (round 5: the multi
+    CLI had both, the single CLI none — SURVEY section-5 parity)."""
+    import json
+
+    from smpltpu.pipeline.single import parse_args
+    from tests.test_pipeline import _make_dataset
+
+    opts = parse_args(["m", "k", "i", "o", "--profile",
+                       "--metrics-jsonl", "mm.jsonl"])
+    assert opts["profile"] and opts["metrics_jsonl"] == "mm.jsonl"
+
+    import numpy as np
+
+    from smpltpu.pipeline import single as single_cli
+    rng = np.random.default_rng(5)
+    model_path, kp_dir, img_dir = _make_dataset(tmp_path, rng,
+                                                empty_frames=())
+    out = str(tmp_path / "o_obs")
+    mj = str(tmp_path / "m.jsonl")
+    rc = single_cli.main([model_path, kp_dir, img_dir, out, "5", "1.0",
+                          "0.0", "--metrics-jsonl", mj])
+    assert rc == 0
+    rows = [json.loads(line) for line in open(mj)]
+    assert any(r.get("event") == "single_solve" and r.get("frames")
+               for r in rows)
