@@ -704,9 +704,13 @@ def pick_entries(verts_cam: np.ndarray, faces: np.ndarray, fx, fy, cx, cy,
     CLIPPED (those rows render the remaining faces only)."""
     n, n_max = entries_count(verts_cam, faces, fx, fy, cx, cy,
                              height, width, span_y, span_x)
-    cap = CHUNK
-    while cap < min(int(np.ceil(n * margin)), n_max):
-        cap *= 2
+    # 4096-granular bucket (NOT pow2): the static sorted-edge arrays are
+    # sized by the cap, so a pow2 bucket wastes up to 2x of the gather it
+    # exists to shrink — measured at 720x1280: cap 20480 (this rule) 485
+    # fps raster vs pow2's 32768 at 434 (r5c sweep log). Coarser than
+    # CHUNK so caps stay stable across similar frames (compile reuse).
+    cap = max(-(-min(int(np.ceil(n * margin)), n_max) // 4096) * 4096,
+              CHUNK)
     return min(cap, n_max)
 
 

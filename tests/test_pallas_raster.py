@@ -236,7 +236,11 @@ def test_entry_cap_pixel_exact(small_model_dict):
     ec = pick_entries(verts, faces, FX, FY, CX, CY, H, W)
     n_real, n_max = entries_count(verts, faces, FX, FY, CX, CY, H, W)
     assert n_real <= ec <= n_max
-    assert ec < n_max  # the lever actually truncates on this scene
+    # the 4096-granular bucket floors at CHUNK, so this tiny scene's
+    # auto cap is uncapped (== n_max); exercise real truncation with the
+    # tightest CHUNK-aligned cap that still covers every real entry
+    ec_tight = -(-n_real // CHUNK) * CHUNK
+    assert ec_tight < n_max  # the manual cap actually truncates here
 
     def run(cap):
         g, c = rasterize_tiled(jnp.asarray(verts), jnp.asarray(faces),
@@ -245,10 +249,11 @@ def test_entry_cap_pixel_exact(small_model_dict):
         return np.asarray(g), np.asarray(c)
 
     g_full, c_full = run(None)
-    g_cap, c_cap = run(ec)
-    np.testing.assert_array_equal(c_full, c_cap)
-    np.testing.assert_array_equal(g_full, g_cap)
-    assert c_cap.sum() > 300
+    for cap in (ec, ec_tight):
+        g_cap, c_cap = run(cap)
+        np.testing.assert_array_equal(c_full, c_cap)
+        np.testing.assert_array_equal(g_full, g_cap)
+    assert c_full.sum() > 300
 
     g_u, c_u = run(CHUNK)     # undersized: clipped segments, valid output
     assert c_u.sum() <= c_full.sum()
