@@ -745,7 +745,14 @@ def fit_adaptive(
        path: on motion where whole bands of frames are unreachable from
        ANY static start (the 1000-frame bench ramp: 873/1000 hard,
        13.96 px final — BASELINE round-5), the one well-fitted neighbor
-       basin walks down the band.
+       basin walks down the band. Assumes the default Huber scale: the
+       adoption test compares the scan's cost against phase A/B's, so a
+       custom ``lm_cfg`` with a different ``huber_delta`` would make
+       those costs incomparable (phase P uses the stock objective).
+       NOTE (BASELINE round-5): band hardness must be BASINS, not the
+       objective — on the bench ramp's beta-dominated tail phase P
+       correctly adopts almost nothing (the GT-tracking fits it finds
+       have HIGHER cost; tests/test_prior_pathology.py).
 
     The full ``--multi-start`` path fits F x 5 solves to fix the few
     frames the blind init loses (src/main_single_frame.cpp:208-224); this
