@@ -381,6 +381,29 @@ def aa_from_rotation_batch(r: np.ndarray) -> np.ndarray:
     return np.where(small[:, None], 0.0, aa)
 
 
+def _rowwise_lapack(fn, out_shape_like, ok, *args):
+    """Run a batched numpy.linalg call; if LAPACK raises for ANY row
+    (possible even past a det/finite pre-guard — e.g. an exact zero
+    pivot on a near-singular 2x2 whose f64 det rounds nonzero), fall
+    back to per-row calls, marking the failing rows not-ok. The
+    per-frame reference path wraps the same calls in try/except, so
+    this reproduces its None-semantics row-for-row (and bitwise values
+    for the rows that succeed — same LAPACK routine either way)."""
+    try:
+        return fn(*args), ok
+    except np.linalg.LinAlgError:
+        out = np.zeros_like(out_shape_like)
+        good = ok.copy()
+        for i in range(out.shape[0]):
+            if not good[i]:
+                continue
+            try:
+                out[i] = fn(*(a[i] for a in args))
+            except np.linalg.LinAlgError:
+                good[i] = False
+        return out, good
+
+
 def estimate_root_orient_batch(
     kp_batch: np.ndarray,   # (F, K, 4)
     rest_cam: np.ndarray,
@@ -394,7 +417,14 @@ def estimate_root_orient_batch(
     version would return ``None`` have ``ok=False`` (r=I, t=0). Every
     branch — torso/all-joints fallback, collinear/planar/3D-spread
     split, paraperspective correction, depth gates — mirrors the scalar
-    code; equality pinned by tests/test_init_batch.py."""
+    code; equality pinned by tests/test_init_batch.py (and fuzzed over
+    degenerate-input zoos). Caveat: on frames sitting exactly AT a
+    branch threshold (the 1e-2 planar/3D split, near-equal eigenvalues)
+    ulp-level differences between the masked-sum and subset-sum input
+    statistics can flip the branch — both results are then equally
+    valid estimates of a degenerate frame (ok-semantics still match).
+    LAPACK non-convergence/singularity on pathological rows falls back
+    to per-row calls (_rowwise_lapack) instead of failing the batch."""
     kp = np.asarray(kp_batch, np.float64)
     f_dim = kp.shape[0]
     fx, fy = float(cam.fx), float(cam.fy)
@@ -420,8 +450,17 @@ def estimate_root_orient_batch(
         yc = (y_all - ym[:, None, :]) * w[:, :, None]
         g = np.einsum("fki,fkj->fij", xc, xc)
         ok &= np.isfinite(g).all((1, 2))
-        evals, evecs = np.linalg.eigh(
-            np.where(ok[:, None, None], g, eye3))
+        g_in = np.where(ok[:, None, None], g, eye3)
+        try:
+            evals, evecs = np.linalg.eigh(g_in)
+        except np.linalg.LinAlgError:
+            evals = np.zeros((f_dim, 3))
+            evecs = np.tile(np.eye(3), (f_dim, 1, 1))
+            for i in range(f_dim):
+                try:
+                    evals[i], evecs[i] = np.linalg.eigh(g_in[i])
+                except np.linalg.LinAlgError:
+                    ok[i] = False
         ok &= np.isfinite(evals).all(1) & (evals[:, 2] > 1e-12)
         ok &= evals[:, 1] >= 1e-6 * evals[:, 2]
         planar = evals[:, 0] < 1e-2 * evals[:, 2]
@@ -434,13 +473,24 @@ def estimate_root_orient_batch(
         det2 = m2[:, 0, 0] * m2[:, 1, 1] - m2[:, 0, 1] * m2[:, 1, 0]
         s_ok = (np.isfinite(m2).all((1, 2)) & np.isfinite(rhs).all((1, 2))
                 & (det2 != 0.0))
-        a2 = np.linalg.solve(
+        a2, s_ok = _rowwise_lapack(
+            np.linalg.solve, rhs, s_ok,
             np.where(s_ok[:, None, None], m2, np.eye(2)[None]),
             np.where(s_ok[:, None, None], rhs, 0.0))
         a2 = np.swapaxes(a2, 1, 2)                              # the .T
         s_ok &= np.isfinite(a2).all((1, 2))
-        u2, s2, vt2 = np.linalg.svd(
-            np.where(s_ok[:, None, None], a2, np.eye(2)[None]))
+        a2_in = np.where(s_ok[:, None, None], a2, np.eye(2)[None])
+        try:
+            u2, s2, vt2 = np.linalg.svd(a2_in)
+        except np.linalg.LinAlgError:
+            u2 = np.tile(np.eye(2), (f_dim, 1, 1))
+            s2 = np.zeros((f_dim, 2))
+            vt2 = np.tile(np.eye(2), (f_dim, 1, 1))
+            for i in range(f_dim):
+                try:
+                    u2[i], s2[i], vt2[i] = np.linalg.svd(a2_in[i])
+                except np.linalg.LinAlgError:
+                    s_ok[i] = False
         pl_ok = s_ok & np.isfinite(s2).all(1) & (s2[:, 0] >= 1e-9)
         alpha_p = s2[:, 0]
         cphi = np.clip(s2[:, 1] / np.where(alpha_p == 0.0, 1.0, alpha_p),
@@ -464,12 +514,23 @@ def estimate_root_orient_batch(
         g_reg = g + 1e-12 * eye3
         inv_ok = np.isfinite(g_reg).all((1, 2)) & (
             np.abs(np.linalg.det(g_reg)) > 0.0)
-        m3 = np.einsum("fki,fkj->fij", yc, xc) @ np.linalg.inv(
-            np.where(inv_ok[:, None, None], g_reg, eye3))       # (F, 2, 3)
+        g_inv, inv_ok = _rowwise_lapack(
+            np.linalg.inv, g_reg, inv_ok,
+            np.where(inv_ok[:, None, None], g_reg, eye3))
+        m3 = np.einsum("fki,fkj->fij", yc, xc) @ g_inv          # (F, 2, 3)
         m3_ok = inv_ok & np.isfinite(m3).all((1, 2))
-        u_m, s_m, vt_m = np.linalg.svd(
-            np.where(m3_ok[:, None, None], m3,
-                     np.eye(2, 3)[None]))
+        m3_in = np.where(m3_ok[:, None, None], m3, np.eye(2, 3)[None])
+        try:
+            u_m, s_m, vt_m = np.linalg.svd(m3_in)
+        except np.linalg.LinAlgError:
+            u_m = np.tile(np.eye(2), (f_dim, 1, 1))
+            s_m = np.zeros((f_dim, 2))
+            vt_m = np.tile(np.eye(3), (f_dim, 1, 1))
+            for i in range(f_dim):
+                try:
+                    u_m[i], s_m[i], vt_m[i] = np.linalg.svd(m3_in[i])
+                except np.linalg.LinAlgError:
+                    m3_ok[i] = False
         ok3 = m3_ok & np.isfinite(s_m).all(1) & (s_m[:, 0] >= 1e-9)
         alpha_3 = s_m.mean(1)
         r2 = u_m @ vt_m[:, :2, :]                               # (F, 2, 3)

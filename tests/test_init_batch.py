@@ -87,6 +87,11 @@ def rig():
     kp[5, ::2, 3] = 0.0                    # half the joints missing
     kp[6, [0, 1, 2], 3] = 0.0              # pelvis+hips gone (torso < 4
     #                                        -> all-joints fallback)
+    kp[7, :, 1:3] = kp[7, 0:1, 1:3]        # EXACTLY coincident points:
+    #   the planar-branch 2x2 solve hits an exact zero pivot that a
+    #   det-pre-guard can miss — the round-5 fuzz found the batched
+    #   np.linalg.solve raising and killing the whole batch where the
+    #   scalar path returns None for just that frame (_rowwise_lapack)
     return prob, rest, cam, kp
 
 
